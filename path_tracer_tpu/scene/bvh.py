@@ -52,11 +52,16 @@ def _surface_area(bb_min: np.ndarray, bb_max: np.ndarray) -> np.ndarray:
     return 2.0 * (v[..., 0] * v[..., 2] + v[..., 1] * v[..., 0] + v[..., 2] * v[..., 1])
 
 
-def build_sah_tree(aabb_min: np.ndarray, aabb_max: np.ndarray):
+def build_sah_tree(aabb_min: np.ndarray, aabb_max: np.ndarray, max_leaf: int = 4):
     """Build the SAH tree over primitives with the given AABBs.
 
     Returns ``(nodes: list[_Node], perm: int64[T])`` where leaves index into
     ``perm`` (the primitive reordering).
+
+    ``max_leaf`` caps leaf size: the reference's no-split collapse
+    (blas_bvh.rs:112-121) can emit arbitrarily large leaves, but the batched
+    traversal kernels unroll leaf loops, so oversized would-be leaves are
+    split regardless of SAH. Identical images, bounded unroll.
     """
     t = aabb_min.shape[0]
     if t == 0:
@@ -115,7 +120,7 @@ def build_sah_tree(aabb_min: np.ndarray, aabb_max: np.ndarray):
         best_sah = float(sah[best])
         no_split_sah = INTERSECTION_COST * span
 
-        if no_split_sah < best_sah:
+        if no_split_sah < best_sah and span <= max_leaf:
             nodes.append(_Node(node_min, node_max, True, start, span))
             return len(nodes) - 1
 
@@ -201,7 +206,21 @@ def flatten(nodes: list[_Node], root: int) -> dict[str, np.ndarray]:
     return out
 
 
-def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray):
-    """Convenience: build + flatten. Returns ``(flat_nodes, perm)``."""
-    nodes, perm, root = build_sah_tree(aabb_min, aabb_max)
-    return flatten(nodes, root), perm
+def tree_depth(nodes: list[_Node], root: int) -> int:
+    """Max depth (edges) of the tree — bounds the traversal stack usage."""
+    depth = 0
+    stack = [(root, 0)]
+    while stack:
+        i, d = stack.pop()
+        depth = max(depth, d)
+        node = nodes[i]
+        if not node.is_leaf:
+            stack.append((node.a, d + 1))
+            stack.append((node.b, d + 1))
+    return depth
+
+
+def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray, max_leaf: int = 4):
+    """Convenience: build + flatten. Returns ``(flat_nodes, perm, depth)``."""
+    nodes, perm, root = build_sah_tree(aabb_min, aabb_max, max_leaf=max_leaf)
+    return flatten(nodes, root), perm, tree_depth(nodes, root)

@@ -1,0 +1,133 @@
+"""Scene assembly: models -> flattened device arrays (SceneData).
+
+The reference builds a two-level structure at startup: per-model BLAS BVHs, a
+TLAS over instances, an emissive-only clone for light sampling, and a
+power-weighted light CDF (``src/scene.rs:21-35``, ``src/scene/light_sampler.rs``).
+
+The TPU-first default here is **world-space flattening**: instances are baked
+(rigid transform, ``model.rs:43`` guarantees no scale) into one world triangle
+soup with a single SAH BVH. This removes the per-ray object-space transform
+from the traversal inner loop — the right trade on a vector machine where
+divergent matrix loads are expensive and HBM is plentiful. The two-level
+TLAS/BLAS path (for massive instancing) is kept as a separate traversal mode
+built from `path_tracer_tpu.scene.tlas`.
+
+A ``Scene`` also always carries an environment image; "no env map" is a 1x1
+constant-0.006 image, which makes the miss shader a single code path while
+reproducing ``integrator.rs:256-266`` exactly (bilinear of a constant is the
+constant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from path_tracer_tpu.core.constants import DEFAULT_BACKGROUND
+from path_tracer_tpu.scene import bvh as bvh_mod
+from path_tracer_tpu.scene import triangle as tri_mod
+from path_tracer_tpu.scene.materials import pack_materials
+from path_tracer_tpu.scene.model import Model
+
+SceneData = dict  # nested dict-of-jnp-arrays pytree handed to jitted kernels
+
+
+def _pack_tris(positions: np.ndarray, normals: np.ndarray) -> dict[str, np.ndarray]:
+    pre = tri_mod.precompute(positions)
+    pre["normals"] = normals.astype(np.float32)
+    pre["positions"] = positions.astype(np.float32)
+    return pre
+
+
+class Scene:
+    """Host-side scene: build once, then ``.device()`` for the jitted renderer."""
+
+    def __init__(self, models: list[Model], env: np.ndarray | None = None):
+        self.models = models
+
+        world_pos, world_nrm, world_mat, world_model = [], [], [], []
+        light_pos, light_nrm, light_mat, light_model = [], [], [], []
+
+        materials = [m.material for m in models]
+        mat_table = pack_materials(materials)
+
+        for model_id, model in enumerate(models):
+            emissive = bool(mat_table["is_emissive"][model_id])
+            for matrix in model.matrices:
+                p, n = tri_mod.transform(model.positions, model.normals, np.asarray(matrix, np.float32))
+                world_pos.append(p)
+                world_nrm.append(n)
+                world_mat.append(np.full(p.shape[0], model_id, np.int32))
+                world_model.append(np.full(p.shape[0], model_id, np.int32))
+                if emissive:
+                    light_pos.append(p)
+                    light_nrm.append(n)
+                    light_mat.append(np.full(p.shape[0], model_id, np.int32))
+
+        world_pos = np.concatenate(world_pos)
+        world_nrm = np.concatenate(world_nrm)
+        world_mat = np.concatenate(world_mat)
+        world_model = np.concatenate(world_model)
+
+        # World BVH over baked triangles; reorder the soup by the builder's
+        # permutation so leaves are contiguous primitive ranges.
+        bmin, bmax = tri_mod.aabbs(world_pos)
+        self.bvh, perm, self.bvh_depth = bvh_mod.build_bvh(bmin, bmax)
+        from path_tracer_tpu.trace.traversal import STACK_DEPTH
+
+        if self.bvh_depth > STACK_DEPTH:
+            raise ValueError(f"BVH depth {self.bvh_depth} exceeds traversal STACK_DEPTH {STACK_DEPTH}")
+        world_pos, world_nrm = world_pos[perm], world_nrm[perm]
+        world_mat, world_model = world_mat[perm], world_model[perm]
+
+        self.tri = _pack_tris(world_pos, world_nrm)
+        self.tri["mat"] = world_mat
+        self.tri["model"] = world_model
+
+        # Lights: emissive triangles only (scene.rs:23-28), with their own BVH
+        # for the bsdf-sampled direct-light pretest (integrator.rs:100) and a
+        # power-weighted CDF (light weight = area * |emitted|, blas.rs:203-212).
+        self.has_lights = len(light_pos) > 0
+        if self.has_lights:
+            lp = np.concatenate(light_pos)
+            ln = np.concatenate(light_nrm)
+            lm = np.concatenate(light_mat)
+            lbmin, lbmax = tri_mod.aabbs(lp)
+            self.lights_bvh, lperm, _ = bvh_mod.build_bvh(lbmin, lbmax)
+            lp, ln, lm = lp[lperm], ln[lperm], lm[lperm]
+            self.light = _pack_tris(lp, ln)
+            self.light["mat"] = lm
+            emitted = mat_table["emitted"][lm]
+            weight = self.light["area"] * np.linalg.norm(emitted, axis=-1)
+            total = weight.sum()
+            pdf = (weight / total).astype(np.float32)
+            self.light["emitted"] = emitted.astype(np.float32)
+            self.light["pdf"] = pdf
+            self.light["cdf"] = np.cumsum(pdf).astype(np.float32)
+        else:
+            self.lights_bvh, self.light = None, None
+
+        self.mat = mat_table
+
+        if env is None:
+            env = np.full((1, 1, 3), DEFAULT_BACKGROUND, np.float32)
+        self.env = np.asarray(env, np.float32)
+
+        self.num_world_tris = world_pos.shape[0]
+
+    def device(self) -> SceneData:
+        """Upload to device as a nested dict pytree of jnp arrays."""
+
+        def up(d):
+            return {k: jnp.asarray(v) for k, v in d.items()}
+
+        data = {
+            "bvh": up(self.bvh),
+            "tri": up(self.tri),
+            "mat": up(self.mat),
+            "env": jnp.asarray(self.env),
+        }
+        if self.has_lights:
+            data["lights_bvh"] = up(self.lights_bvh)
+            data["light"] = up(self.light)
+        return data
