@@ -15,4 +15,13 @@ re-architected TPU-first:
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry in a path tracer must be full f32: JAX's default matmul precision
+# on TPU rounds through bfloat16, which visibly corrupts ray directions and
+# BVH/triangle math (SURVEY.md §7 hard part 5). The few small matmuls here
+# (camera NDC transform, ONB frame changes) are not MXU-throughput-bound, so
+# force full precision globally.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from path_tracer_tpu.core import constants  # noqa: F401

@@ -105,8 +105,10 @@ def ray_directions(ndc_to_world: jnp.ndarray, origin: jnp.ndarray, s: jnp.ndarra
     """
     x = s * 2.0 - 1.0
     y = t * 2.0 - 1.0
-    ndc = jnp.stack([x, y, jnp.zeros_like(x), jnp.ones_like(x)], axis=-1)
-    q = ndc @ ndc_to_world.T
+    # Explicit broadcast multiply-adds (ndc z == 0): stays on the VPU in full
+    # f32 regardless of matmul precision defaults.
+    m = ndc_to_world
+    q = x[..., None] * m[:, 0] + y[..., None] * m[:, 1] + m[:, 3]
     point = q[..., :3] / q[..., 3:4]
     d = point - origin
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)

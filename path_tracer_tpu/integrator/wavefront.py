@@ -1,0 +1,421 @@
+"""Wavefront path integrator: NEE + MIS, Russian roulette, nested media.
+
+TPU re-architecture of ``integrate()`` (``src/integrator.rs:143-281``): the
+reference traces one pixel at a time through a divergent bounce loop; here the
+WHOLE film advances bounce-by-bounce inside one ``lax.while_loop``, with every
+reference branch turned into masked lane arithmetic. Behavior parity notes:
+
+* Russian roulette after bounce 3 with survive = min(max(throughput), 0.9999)
+  (integrator.rs:165-177),
+* volume scattering beats the surface hit when any containing medium samples a
+  free-flight distance below ``t_hit``; Beer-Lambert absorption applies on the
+  traveled distance either way (integrator.rs:189-205),
+* emissive hits contribute only when NEE is off, the previous vertex was a
+  delta interaction, or this is the camera ray (integrator.rs:207-214),
+* NEE combines an explicit light sample and a BSDF sample with the power
+  heuristic, including the lights-only-BVH pretest (integrator.rs:22-141),
+* the nested-media set becomes a fixed [N, K] id array with set semantics
+  (push on front-face entry, remove on back-face exit; integrator.rs:217-227),
+* final per-sample guard: non-finite -> black, else clamp ||L|| to 100
+  (integrator.rs:272-280).
+
+RNG: every draw site has a static stream id; values depend only on
+(pixel lane, sample, bounce, site) so any tiling/sharding renders identically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from path_tracer_tpu.camera import ray_directions
+from path_tracer_tpu.core import sobol
+from path_tracer_tpu.core.constants import (
+    EPSILON,
+    FIREFLY_CLAMP,
+    HEURISTIC_POWER,
+    INFINITY,
+    MAX_BOUNCES,
+    MIN_PDF,
+    RR_MAX_SURVIVE,
+    RR_START_BOUNCE,
+    VOLUME_STACK_DEPTH,
+)
+from path_tracer_tpu.core.rng import pcg4d, uniform4
+from path_tracer_tpu.core.vecmath import dot, normalize, ray_at
+from path_tracer_tpu.integrator import bsdf as bsdf_mod
+from path_tracer_tpu.scene.envmap import sample_environment
+from path_tracer_tpu.trace.traversal import any_hit, closest_hit
+
+# RNG stream ids (per bounce). Volume slots use VOLUME + k.
+_S_RR = 0
+_S_VOLUME = 1  # .. 1+K-1
+_S_NEE_LIGHT = 8
+_S_NEE_BSDF = 9
+_S_SCATTER = 10
+_S_CAMERA = 11
+
+
+def mis_heuristic(f: jnp.ndarray, g: jnp.ndarray, power: int = HEURISTIC_POWER) -> jnp.ndarray:
+    """Power heuristic (integrator.rs:22)."""
+    fp = f**power
+    return fp / (fp + g**power)
+
+
+def _interp_normal(normals: jnp.ndarray, idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Barycentric shading normal, normalized (primitive.rs:57-63)."""
+    tri_n = jnp.take(normals, jnp.maximum(idx, 0), axis=0)  # [N,3(vtx),3]
+    w = 1.0 - u - v
+    n = tri_n[:, 0] * w[:, None] + tri_n[:, 1] * u[:, None] + tri_n[:, 2] * v[:, None]
+    return normalize(n, eps=1e-20)
+
+
+def _interp_position(positions: jnp.ndarray, idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    tri_p = jnp.take(positions, jnp.maximum(idx, 0), axis=0)
+    w = 1.0 - u - v
+    return tri_p[:, 0] * w[:, None] + tri_p[:, 1] * u[:, None] + tri_p[:, 2] * v[:, None]
+
+
+def _hit_normal(scene, idx, u, v, direction):
+    """Shading normal flipped against the ray + front_facing flag
+    (primitive.rs:160-170)."""
+    n = _interp_normal(scene["tri"]["normals"], idx, u, v)
+    front = dot(direction, n) < 0.0
+    return jnp.where(front[:, None], n, -n), front
+
+
+def _volume_gather(mat: dict, ids: jnp.ndarray):
+    """Volume params for a stack slot of material ids (-1 = empty)."""
+    safe = jnp.maximum(ids, 0)
+    empty = ids < 0
+    return {
+        "has_scatter": jnp.where(empty, False, jnp.take(mat["vol_has_scatter"], safe)),
+        "has_absorption": jnp.where(empty, False, jnp.take(mat["vol_has_absorption"], safe)),
+        "absorption": jnp.where(empty[:, None], 0.0, jnp.take(mat["vol_absorption"], safe, axis=0)),
+        "c": jnp.take(mat["vol_c"], safe),
+        "g": jnp.take(mat["vol_g"], safe),
+    }
+
+
+def _stack_contains(stack: jnp.ndarray, mat_id: jnp.ndarray) -> jnp.ndarray:
+    return jnp.any(stack == mat_id[:, None], axis=1)
+
+
+def _stack_insert(stack: jnp.ndarray, mat_id: jnp.ndarray, enable: jnp.ndarray) -> jnp.ndarray:
+    """Set-insert into the first empty (-1) slot; no-op if present/full."""
+    present = _stack_contains(stack, mat_id)
+    is_empty = stack == -1
+    first_empty = jnp.argmax(is_empty, axis=1)
+    has_space = jnp.any(is_empty, axis=1)
+    do = enable & ~present & has_space
+    onehot = jax.nn.one_hot(first_empty, stack.shape[1], dtype=jnp.bool_)
+    return jnp.where(do[:, None] & onehot, mat_id[:, None], stack)
+
+
+def _stack_remove(stack: jnp.ndarray, mat_id: jnp.ndarray, enable: jnp.ndarray) -> jnp.ndarray:
+    match = (stack == mat_id[:, None]) & enable[:, None]
+    return jnp.where(match, -1, stack)
+
+
+def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m_lane, mask):
+    """Explicit light-sample half of NEE (integrator.rs:25-74). ``mask``
+    zeroes the shadow-ray extent for lanes not doing NEE so they exit the
+    traversal loop immediately."""
+    light = scene["light"]
+    u = uniform4(lane, sample_id, b, _S_NEE_LIGHT)
+
+    # Power-CDF light pick (light_sampler.rs:31-37)
+    li = jnp.searchsorted(light["cdf"], u[:, 0]).astype(jnp.int32)
+    li = jnp.minimum(li, light["cdf"].shape[0] - 1)
+    pick_pdf = jnp.take(light["pdf"], li)
+    area = jnp.take(light["area"], li)
+    emitted = jnp.take(light["emitted"], li, axis=0)
+
+    # Uniform point via diagonal flip (primitive.rs:77-91)
+    pu, pv = u[:, 1], u[:, 2]
+    flip = pu + pv > 1.0
+    pu = jnp.where(flip, 1.0 - pu, pu)
+    pv = jnp.where(flip, 1.0 - pv, pv)
+    point = _interp_position(light["positions"], li, pu, pv)
+    light_n = _interp_normal(light["normals"], li, pu, pv)
+
+    d_vec = point - o_s
+    dist_sq = jnp.sum(d_vec * d_vec, axis=-1)
+    dist = jnp.sqrt(dist_sq)
+    wo = d_vec / jnp.maximum(dist[:, None], 1e-20)
+
+    facing = dot(wo, normal) > 0.0
+    shadow_limit = jnp.where(mask & facing, (1.0 - EPSILON) * dist, 0.0)
+    unoccluded = ~any_hit(scene["bvh"], scene["tri"], o_s, wo, shadow_limit)
+    visible = facing & unoccluded
+
+    bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front)
+    sample_pdf = pick_pdf / jnp.maximum(area, 1e-20)
+    cosine = jnp.abs(dot(wo, light_n))
+    light_pdf = sample_pdf * dist_sq / jnp.maximum(cosine, 1e-20)
+    weight = mis_heuristic(light_pdf, bsdf_pdf)
+    weakening = bsdf_mod.get_weakening(m_lane, wo, normal)
+    contrib = emitted * (weight * weakening / jnp.maximum(light_pdf, 1e-20))[:, None] * bsdf_v
+    return jnp.where(visible[:, None], contrib, 0.0)
+
+
+def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, front, m_lane, mask):
+    """BSDF-sample half of NEE with the lights-BVH pretest
+    (integrator.rs:77-130)."""
+    light = scene["light"]
+    u = uniform4(lane, sample_id, b, _S_NEE_BSDF)
+    wo = bsdf_mod.sample_bsdf(m_lane, ray_dir, normal, front, u)
+
+    facing = dot(wo, normal) > 0.0
+    live = mask & facing
+    # Cheap pretest against the lights-only BVH (integrator.rs:100)
+    li, lt, lu, lv = closest_hit(
+        scene["lights_bvh"], light, o_s, wo, jnp.where(live, INFINITY, 0.0)
+    )
+    light_found = li >= 0
+    # Full shadow test at (1-EPS) * light distance (integrator.rs:103)
+    shadow_limit = jnp.where(live & light_found, lt * (1.0 - EPSILON), 0.0)
+    unoccluded = ~any_hit(scene["bvh"], scene["tri"], o_s, wo, shadow_limit)
+
+    bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front)
+    valid_pdf = bsdf_pdf > MIN_PDF
+
+    pick_pdf = jnp.take(light["pdf"], jnp.maximum(li, 0))
+    area = jnp.take(light["area"], jnp.maximum(li, 0))
+    emitted = jnp.take(light["emitted"], jnp.maximum(li, 0), axis=0)
+    light_n = _interp_normal(light["normals"], li, lu, lv)
+
+    sample_pdf = pick_pdf / jnp.maximum(area, 1e-20)
+    cosine = jnp.abs(dot(wo, light_n))
+    light_pdf = sample_pdf * (lt * lt) / jnp.maximum(cosine, 1e-20)
+    weight = mis_heuristic(bsdf_pdf, light_pdf)
+    weakening = bsdf_mod.get_weakening(m_lane, wo, normal)
+    contrib = emitted * (weight * weakening / jnp.maximum(bsdf_pdf, 1e-20))[:, None] * bsdf_v
+
+    ok = facing & light_found & unoccluded & valid_pdf
+    return jnp.where(ok[:, None], contrib, 0.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_bounces", "enable_nee", "has_lights"),
+)
+def render_sample(
+    scene: dict,
+    ndc_to_world: jnp.ndarray,
+    cam_origin: jnp.ndarray,
+    sample_id,
+    width: int,
+    height: int,
+    max_bounces: int = MAX_BOUNCES,
+    enable_nee: bool = True,
+    has_lights: bool = True,
+):
+    """Trace 1 sample/pixel for the whole film.
+
+    Returns ``(radiance [N,3], position [N,4], first_id [N] uint32)`` with N =
+    width*height, lane = y*width + x, y counted bottom-up (see camera module).
+    """
+    n = width * height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    x = (lane % width).astype(jnp.float32)
+    y = (lane // width).astype(jnp.float32)
+
+    # Sub-pixel jitter: Owen-scrambled Sobol indexed by sample, seeded per
+    # pixel (constant across samples -> a true scrambled sequence per pixel).
+    pix_seed, _, _, _ = pcg4d(
+        lane, jnp.full_like(lane, 0x9E3779B9), jnp.full_like(lane, 0x85EBCA6B), jnp.full_like(lane, _S_CAMERA)
+    )
+    offset = sobol.get_ss_sobol(jnp.full_like(lane, jnp.uint32(sample_id)), pix_seed) - 0.5
+
+    u = (x + offset[:, 0]) / width
+    v = (y + offset[:, 1]) / height
+    d = ray_directions(ndc_to_world, cam_origin, u, v)
+    o = jnp.broadcast_to(cam_origin, (n, 3)).astype(jnp.float32)
+
+    nee = enable_nee and has_lights
+
+    state = dict(
+        o=o,
+        d=d,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        alive=jnp.ones(n, jnp.bool_),
+        last_delta=jnp.zeros(n, jnp.bool_),
+        vol_stack=jnp.full((n, VOLUME_STACK_DEPTH), -1, jnp.int32),
+        b=jnp.uint32(0),
+        position=jnp.concatenate([o + d * 1e5, jnp.full((n, 1), 1e5, jnp.float32)], axis=1),
+        first_id=jnp.full(n, 0xFF, jnp.uint32),
+    )
+
+    mat = scene["mat"]
+
+    def cond(s):
+        return (s["b"] <= max_bounces) & jnp.any(s["alive"])
+
+    def body(s):
+        o, d, alive, b = s["o"], s["d"], s["alive"], s["b"]
+        throughput, radiance = s["throughput"], s["radiance"]
+        last_delta, vol_stack = s["last_delta"], s["vol_stack"]
+        position, first_id = s["position"], s["first_id"]
+
+        # --- Russian roulette (integrator.rs:165-177) ---
+        rr_on = alive & (b > RR_START_BOUNCE)
+        survive = jnp.minimum(jnp.max(throughput, axis=-1), RR_MAX_SURVIVE)
+        u_rr = uniform4(lane, sample_id, b, _S_RR)[:, 0]
+        killed = rr_on & (u_rr > survive)
+        alive = alive & ~killed
+        throughput = jnp.where(rr_on[:, None], throughput / jnp.maximum(survive, 1e-20)[:, None], throughput)
+
+        # --- closest hit on the world (dead lanes get a zero-extent ray) ---
+        tri_idx, t_hit, hu, hv = closest_hit(
+            scene["bvh"], scene["tri"], o, d, jnp.where(alive, INFINITY, 0.0)
+        )
+        hit = (tri_idx >= 0) & alive
+
+        # First-bounce position/id buffers (integrator.rs:181-185)
+        at_b0 = alive & (b == 0)
+        pos_hit = jnp.concatenate([ray_at(o, d, t_hit), t_hit[:, None]], axis=1)
+        position = jnp.where((at_b0 & hit)[:, None], pos_hit, position)
+        model_id = jnp.take(scene["tri"]["model"], jnp.maximum(tri_idx, 0)).astype(jnp.uint32)
+        first_id = jnp.where(at_b0 & hit, model_id, first_id)
+
+        # --- participating media (integrator.rs:189-205) ---
+        t_scat = jnp.full_like(t_hit, INFINITY)
+        scat_slot = jnp.zeros_like(tri_idx)
+        vol_u = [uniform4(lane, sample_id, b, _S_VOLUME + k) for k in range(VOLUME_STACK_DEPTH)]
+        slot_vols = []
+        for k in range(VOLUME_STACK_DEPTH):
+            vp = _volume_gather(mat, vol_stack[:, k])
+            slot_vols.append(vp)
+            t_k = bsdf_mod.free_flight(vol_u[k][:, 0], jnp.maximum(vp["c"], 1e-20))
+            t_k = jnp.where(vp["has_scatter"], t_k, INFINITY)
+            better = t_k < t_scat
+            t_scat = jnp.where(better, t_k, t_scat)
+            scat_slot = jnp.where(better, k, scat_slot)
+        scattered = hit & (t_scat <= t_hit)
+
+        # Absorption over the traveled distance (scatter distance or hit
+        # distance); reference folds over all absorbing media in the stack.
+        travel = jnp.where(scattered, t_scat, t_hit)
+        for k in range(VOLUME_STACK_DEPTH):
+            vp = slot_vols[k]
+            absorb_on = hit & vp["has_absorption"]
+            trans = bsdf_mod.transmission(vp["absorption"], travel)
+            throughput = jnp.where(absorb_on[:, None], throughput * trans, throughput)
+
+        # HG scatter direction from the winning slot's draws
+        g_win = jnp.zeros_like(t_scat)
+        u_phi = jnp.zeros_like(t_scat)
+        u_z = jnp.zeros_like(t_scat)
+        for k in range(VOLUME_STACK_DEPTH):
+            sel = scat_slot == k
+            g_win = jnp.where(sel, slot_vols[k]["g"], g_win)
+            u_phi = jnp.where(sel, vol_u[k][:, 1], u_phi)
+            u_z = jnp.where(sel, vol_u[k][:, 2], u_z)
+        hg_dir = bsdf_mod.hg_scatter_direction(d, g_win, u_phi, u_z)
+
+        # --- surface interaction for unscattered hit lanes ---
+        surf = hit & ~scattered
+        normal, front = _hit_normal(scene, tri_idx, hu, hv, d)
+        mat_idx = jnp.take(scene["tri"]["mat"], jnp.maximum(tri_idx, 0))
+        m_lane = bsdf_mod.gather_mat(mat, mat_idx)
+        wi_viewer = -d
+        o_surf = ray_at(o, d, t_hit)
+
+        # Emissive termination (integrator.rs:207-214)
+        is_emissive = m_lane["is_emissive"] & surf
+        gate = (not nee) | last_delta | (b == 0)
+        radiance = jnp.where(
+            (is_emissive & gate)[:, None],
+            radiance + m_lane["emitted"] * throughput,
+            radiance,
+        )
+
+        # Volume stack set-update on transmissive boundaries
+        # (integrator.rs:217-227)
+        has_vol = m_lane["has_volume"] & surf & ~is_emissive
+        vol_stack = _stack_insert(vol_stack, mat_idx, has_vol & front)
+        vol_stack = _stack_remove(vol_stack, mat_idx, has_vol & ~front)
+
+        # NEE (integrator.rs:231-234)
+        if nee:
+            nee_on = surf & ~is_emissive & ~m_lane["is_delta"]
+            direct = _direct_explicit(
+                scene, lane, sample_id, b, o_surf, wi_viewer, normal, front, m_lane, nee_on
+            ) + _direct_bsdf(
+                scene, lane, sample_id, b, o_surf, d, wi_viewer, normal, front, m_lane, nee_on
+            )
+            radiance = jnp.where(nee_on[:, None], radiance + throughput * direct, radiance)
+
+        # BSDF scatter + path weight (integrator.rs:236-251)
+        u_sc = uniform4(lane, sample_id, b, _S_SCATTER)
+        new_dir = bsdf_mod.sample_bsdf(m_lane, d, normal, front, u_sc)
+        bsdf_v, pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, new_dir, normal, front)
+        invalid_pdf = pdf < MIN_PDF
+        weakening = bsdf_mod.get_weakening(m_lane, new_dir, normal)
+        scatter_w = weakening[:, None] * bsdf_v / pdf[:, None]
+        cont = surf & ~is_emissive & ~invalid_pdf
+
+        # --- environment miss (integrator.rs:256-266) ---
+        miss = alive & ~hit
+        env_rad = sample_environment(scene["env"], d)
+        radiance = jnp.where(miss[:, None], radiance + env_rad * throughput, radiance)
+
+        # --- advance lanes ---
+        throughput = jnp.where(cont[:, None], throughput * scatter_w, throughput)
+        o = jnp.where(scattered[:, None], ray_at(o, d, t_scat), jnp.where(cont[:, None], o_surf, o))
+        d = jnp.where(scattered[:, None], hg_dir, jnp.where(cont[:, None], new_dir, d))
+        last_delta = jnp.where(scattered, True, jnp.where(cont, m_lane["is_delta"], last_delta))
+        alive = alive & (scattered | cont)
+
+        return dict(
+            o=o, d=d, throughput=throughput, radiance=radiance, alive=alive,
+            last_delta=last_delta, vol_stack=vol_stack, b=b + 1,
+            position=position, first_id=first_id,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+
+    # Final guard (integrator.rs:272-280): NaN/inf -> black, firefly clamp.
+    rad = out["radiance"]
+    finite = jnp.all(jnp.isfinite(rad), axis=-1)
+    norm = jnp.sqrt(jnp.sum(rad * rad, axis=-1))
+    scale = jnp.where(norm > FIREFLY_CLAMP, FIREFLY_CLAMP / jnp.maximum(norm, 1e-20), 1.0)
+    rad = jnp.where(finite[:, None], rad * scale[:, None], 0.0)
+    return rad, out["position"], out["first_id"]
+
+
+def render(
+    scene_host,
+    camera,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounces: int = MAX_BOUNCES,
+    enable_nee: bool = True,
+    start_sample: int = 0,
+    film=None,
+):
+    """Progressive multi-sample render on one device.
+
+    Returns an HDR accumulation film ``[H, W, 4]`` (rgb sum + sample count in
+    alpha, the layout of ``accumulate.wgsl``). Pass ``film`` to resume.
+    """
+    scene = scene_host.device() if hasattr(scene_host, "device") else scene_host
+    has_lights = "light" in scene
+    ndc_to_world = jnp.asarray(camera.view_proj_inverse())
+    origin = jnp.asarray(camera.origin)
+
+    if film is None:
+        film = jnp.zeros((height, width, 4), jnp.float32)
+    for s in range(start_sample, start_sample + spp):
+        rad, _, _ = render_sample(
+            scene, ndc_to_world, origin, s, width, height,
+            max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
+        )
+        frame = jnp.concatenate([rad, jnp.ones((rad.shape[0], 1), jnp.float32)], axis=1)
+        film = film + frame.reshape(height, width, 4)
+    return film
