@@ -1,0 +1,72 @@
+"""Benchmark: Mrays/s at 1024x1024 on the Cornell scene (BASELINE.json metric).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+``vs_baseline`` is value / 100 — the BASELINE.json north-star target of
+100 Mrays/s on a single v5e chip (the reference publishes no numbers of its
+own; see SURVEY.md §6).
+
+Rays counted = every traversal query issued (camera/bounce closest-hits +
+NEE shadow any-hits + light-BVH pretests), the standard "total rays" metric.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.integrator.wavefront import render_sample
+
+    width = height = 1024
+    scene_host, cam = scenes.cornell_diffuse()
+    scene = scene_host.device()
+    ndc = jnp.asarray(cam.view_proj_inverse())
+    origin = jnp.asarray(cam.origin)
+
+    def step(sample_id):
+        rad, _, _, rays = render_sample(
+            scene, ndc, origin, sample_id, width, height,
+            max_bounces=64, enable_nee=True, has_lights=True,
+        )
+        return rad, jnp.sum(rays)
+
+    # warmup/compile
+    rad, nrays = step(np.uint32(0))
+    rad.block_until_ready()
+
+    samples = 4
+    t0 = time.perf_counter()
+    total_rays = 0.0
+    acc = None
+    for s in range(1, samples + 1):
+        rad, nrays = step(np.uint32(s))
+        acc = rad if acc is None else acc + rad
+        total_rays += float(nrays)
+    acc.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt / 1e6
+    spp_s = samples / dt
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s (Cornell 1024x1024, NEE+MIS, 64 max bounces)",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 100.0, 3),
+                "spp_per_s": round(spp_s, 3),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

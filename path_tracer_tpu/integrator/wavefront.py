@@ -198,28 +198,31 @@ def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, fro
     return jnp.where(ok[:, None], contrib, 0.0)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "max_bounces", "enable_nee", "has_lights"),
-)
-def render_sample(
+def trace_lanes(
     scene: dict,
     ndc_to_world: jnp.ndarray,
     cam_origin: jnp.ndarray,
     sample_id,
+    lane: jnp.ndarray,
     width: int,
     height: int,
     max_bounces: int = MAX_BOUNCES,
     enable_nee: bool = True,
     has_lights: bool = True,
 ):
-    """Trace 1 sample/pixel for the whole film.
+    """Trace one path per film lane (lane = y*width + x, y bottom-up).
 
-    Returns ``(radiance [N,3], position [N,4], first_id [N] uint32)`` with N =
-    width*height, lane = y*width + x, y counted bottom-up (see camera module).
+    Taking explicit lane ids (rather than deriving them from array position)
+    is what makes tiling/sharding exact: a device tracing lanes [k, k+c) gets
+    bit-identical radiance to those lanes of a single-device render, because
+    every RNG draw is keyed on the lane id (SURVEY.md §7 hard part 6).
+
+    Returns ``(radiance [n,3], position [n,4], first_id [n] uint32,
+    rays_cast [n] float32)``; ``rays_cast`` counts every traversal query this
+    lane issued (world closest + lights closest + 2 shadow any-hits) — the
+    numerator of the Mrays/s benchmark metric.
     """
-    n = width * height
-    lane = jnp.arange(n, dtype=jnp.uint32)
+    n = lane.shape[0]
     x = (lane % width).astype(jnp.float32)
     y = (lane // width).astype(jnp.float32)
 
@@ -248,6 +251,7 @@ def render_sample(
         b=jnp.uint32(0),
         position=jnp.concatenate([o + d * 1e5, jnp.full((n, 1), 1e5, jnp.float32)], axis=1),
         first_id=jnp.full(n, 0xFF, jnp.uint32),
+        rays=jnp.zeros(n, jnp.float32),
     )
 
     mat = scene["mat"]
@@ -350,6 +354,10 @@ def render_sample(
             )
             radiance = jnp.where(nee_on[:, None], radiance + throughput * direct, radiance)
 
+        rays = s["rays"] + alive.astype(jnp.float32)
+        if nee:
+            rays = rays + 3.0 * nee_on.astype(jnp.float32)
+
         # BSDF scatter + path weight (integrator.rs:236-251)
         u_sc = uniform4(lane, sample_id, b, _S_SCATTER)
         new_dir = bsdf_mod.sample_bsdf(m_lane, d, normal, front, u_sc)
@@ -374,7 +382,7 @@ def render_sample(
         return dict(
             o=o, d=d, throughput=throughput, radiance=radiance, alive=alive,
             last_delta=last_delta, vol_stack=vol_stack, b=b + 1,
-            position=position, first_id=first_id,
+            position=position, first_id=first_id, rays=rays,
         )
 
     out = jax.lax.while_loop(cond, body, state)
@@ -385,7 +393,34 @@ def render_sample(
     norm = jnp.sqrt(jnp.sum(rad * rad, axis=-1))
     scale = jnp.where(norm > FIREFLY_CLAMP, FIREFLY_CLAMP / jnp.maximum(norm, 1e-20), 1.0)
     rad = jnp.where(finite[:, None], rad * scale[:, None], 0.0)
-    return rad, out["position"], out["first_id"]
+    return rad, out["position"], out["first_id"], out["rays"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_bounces", "enable_nee", "has_lights"),
+)
+def render_sample(
+    scene: dict,
+    ndc_to_world: jnp.ndarray,
+    cam_origin: jnp.ndarray,
+    sample_id,
+    width: int,
+    height: int,
+    max_bounces: int = MAX_BOUNCES,
+    enable_nee: bool = True,
+    has_lights: bool = True,
+):
+    """Trace 1 sample/pixel for the whole film on one device.
+
+    Returns ``(radiance [N,3], position [N,4], first_id [N], rays [N])`` with
+    N = width*height.
+    """
+    lane = jnp.arange(width * height, dtype=jnp.uint32)
+    return trace_lanes(
+        scene, ndc_to_world, cam_origin, sample_id, lane, width, height,
+        max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
+    )
 
 
 def render(
@@ -412,7 +447,7 @@ def render(
     if film is None:
         film = jnp.zeros((height, width, 4), jnp.float32)
     for s in range(start_sample, start_sample + spp):
-        rad, _, _ = render_sample(
+        rad, _, _, _ = render_sample(
             scene, ndc_to_world, origin, s, width, height,
             max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
         )

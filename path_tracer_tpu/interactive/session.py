@@ -1,0 +1,98 @@
+"""Interactive progressive-rendering session: the reference's frame loop.
+
+Headless equivalent of ``State``/``run()`` (``src/state.rs:505-586``,
+``src/main.rs:141-224``): each ``frame()`` traces 1 sample/pixel, then either
+
+* camera static  -> progressive accumulation (``accumulate.wgsl`` path), or
+* camera moved   -> velocity + temporal reprojection (``velocity.wgsl`` +
+  ``compute.wgsl`` path), restarting accumulation from the reprojected
+  history,
+
+and ``display()`` returns the tonemapped frame (``shader.wgsl``). WASD/mouse
+input maps to ``Camera.update_origin`` / ``update_rotation``
+(``camera.rs:33-92``). There is no OS window in this framework build; callers
+get frames as arrays (save them, stream them, or wire them to any UI).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from path_tracer_tpu.camera import Camera
+from path_tracer_tpu.integrator.wavefront import render_sample
+from path_tracer_tpu.interactive import taa
+
+
+class InteractiveRenderer:
+    def __init__(
+        self,
+        scene_host,
+        camera: Camera,
+        width: int,
+        height: int,
+        max_bounces: int = 64,
+        enable_nee: bool = True,
+    ):
+        self.scene = scene_host.device() if hasattr(scene_host, "device") else scene_host
+        self.has_lights = "light" in self.scene
+        self.camera = camera
+        self.width = width
+        self.height = height
+        self.max_bounces = max_bounces
+        self.enable_nee = enable_nee
+
+        self.accumulation = jnp.zeros((height, width, 4), jnp.float32)
+        self.ids = jnp.zeros((height, width), jnp.uint32)
+        self.sample = 0
+        self.last_world_to_clip = np.asarray(camera.world_to_clip())
+        self._camera_moved = False
+
+    # -- input events (main.rs:147, camera.rs:55-92) --
+
+    def key(self, key: str, dt: float) -> None:
+        moves = {"w": (0.0, 1.0), "s": (0.0, -1.0), "a": (-1.0, 0.0), "d": (1.0, 0.0)}
+        if key.lower() in moves:
+            dx, dz = moves[key.lower()]
+            self.camera.update_origin(dx, dz, dt)
+            self._camera_moved = True
+
+    def mouse(self, dx: float, dy: float, dt: float) -> None:
+        self.camera.update_rotation(dx, dy, dt)
+        self._camera_moved = True
+
+    # -- frame loop (main.rs:179-218, state.rs:557-586) --
+
+    def frame(self) -> None:
+        h, w = self.height, self.width
+        rad, pos, fid, _ = render_sample(
+            self.scene,
+            jnp.asarray(self.camera.view_proj_inverse()),
+            jnp.asarray(self.camera.origin),
+            self.sample,
+            w,
+            h,
+            max_bounces=self.max_bounces,
+            enable_nee=self.enable_nee,
+            has_lights=self.has_lights,
+        )
+        colour = jnp.concatenate([rad, jnp.ones((rad.shape[0], 1), jnp.float32)], axis=1)
+        colour = colour.reshape(h, w, 4)
+        position = pos.reshape(h, w, 4)
+        self.ids = taa.pack_ids(self.ids, fid.reshape(h, w))
+
+        if self._camera_moved:
+            velocity = taa.compute_velocity(position, jnp.asarray(self.last_world_to_clip))
+            self.accumulation = taa.temporal_reproject(
+                colour, self.accumulation, velocity, self.ids
+            )
+            self._camera_moved = False
+        else:
+            self.accumulation = taa.accumulate(self.accumulation, colour)
+
+        self.last_world_to_clip = np.asarray(self.camera.world_to_clip())
+        self.sample += 1
+
+    def display(self) -> np.ndarray:
+        """Tonemapped [H,W,3] frame in [0,1], image-row order (top first)."""
+        return np.asarray(taa.display_frame(self.accumulation))[::-1]

@@ -1,0 +1,150 @@
+"""Multi-chip scaling: framebuffer-tile and spp sharding over a device mesh.
+
+The reference is single-process (rayon threads over pixels, SURVEY.md §2);
+its one parallel axis — independent Monte Carlo pixels/samples — maps onto a
+TPU pod as data parallelism over a 1-D ``jax.sharding.Mesh``:
+
+* **tile sharding**: each chip traces a contiguous slab of film lanes
+  (BASELINE config 5: 1080p@1024spp tiled across v5e-8). Scene arrays are
+  replicated (BVH + triangles are tens of MB), film output stays sharded and
+  is gathered only for snapshots.
+* **spp sharding**: each chip traces the full film at a different sample id;
+  accumulators are summed with one ``psum`` over ICI per round.
+
+Because every RNG draw keys on the absolute film lane and sample id
+(`integrator.wavefront.trace_lanes`), both shardings reproduce the
+single-chip render exactly up to float reassociation (~1 ulp — XLA may fuse
+the per-shard program differently than the full-film program).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from path_tracer_tpu.integrator.wavefront import trace_lanes
+
+shard_map = jax.shard_map
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def render_sample_sharded(
+    scene: dict,
+    ndc_to_world,
+    cam_origin,
+    sample_id,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    max_bounces: int = 64,
+    enable_nee: bool = True,
+    has_lights: bool = True,
+):
+    """One sample/pixel with film lanes sharded across ``mesh``.
+
+    Returns radiance ``[N, 3]`` still sharded over devices (lane-major).
+    ``width*height`` must divide evenly by the mesh size.
+    """
+    n = width * height
+    n_dev = mesh.devices.size
+    if n % n_dev:
+        raise ValueError(f"film lanes {n} not divisible by {n_dev} devices")
+    chunk = n // n_dev
+    axis = mesh.axis_names[0]
+
+    def shard_fn(scene_rep, ndc, org):
+        dev = jax.lax.axis_index(axis)
+        lane = dev * chunk + jnp.arange(chunk, dtype=jnp.uint32)
+        rad, _, _, rays = trace_lanes(
+            scene_rep, ndc, org, sample_id, lane, width, height,
+            max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
+        )
+        return rad, rays
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(axis), P(axis)),
+        # while_loop carries in the traversal kernels start from replicated
+        # constants; skip the varying-manual-axes type check.
+        check_vma=False,
+    )
+    return fn(scene, jnp.asarray(ndc_to_world), jnp.asarray(cam_origin))
+
+
+def render_spp_sharded(
+    scene: dict,
+    ndc_to_world,
+    cam_origin,
+    base_sample: int,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    max_bounces: int = 64,
+    enable_nee: bool = True,
+    has_lights: bool = True,
+):
+    """Each device traces the whole film at ``base_sample + device_index``;
+    the radiance sums are reduced with one ``psum`` over ICI. Returns a
+    replicated ``[N, 4]`` accumulator delta (rgb sum + count)."""
+    axis = mesh.axis_names[0]
+    n = width * height
+
+    def shard_fn(scene_rep, ndc, org):
+        dev = jax.lax.axis_index(axis)
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        rad, _, _, _ = trace_lanes(
+            scene_rep, ndc, org, jnp.uint32(base_sample) + dev.astype(jnp.uint32),
+            lane, width, height,
+            max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
+        )
+        acc = jnp.concatenate([rad, jnp.ones((n, 1), jnp.float32)], axis=1)
+        return jax.lax.psum(acc, axis)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(scene, jnp.asarray(ndc_to_world), jnp.asarray(cam_origin))
+
+
+def render_sharded(
+    scene_host,
+    camera,
+    width: int,
+    height: int,
+    spp: int,
+    mesh: Mesh | None = None,
+    max_bounces: int = 64,
+    enable_nee: bool = True,
+):
+    """Multi-device progressive render (tile-sharded). Returns film [H,W,4]."""
+    if mesh is None:
+        mesh = make_mesh()
+    scene = scene_host.device() if hasattr(scene_host, "device") else scene_host
+    has_lights = "light" in scene
+    ndc = jnp.asarray(camera.view_proj_inverse())
+    org = jnp.asarray(camera.origin)
+
+    film = jnp.zeros((height * width, 4), jnp.float32)
+    for s in range(spp):
+        rad, _ = render_sample_sharded(
+            scene, ndc, org, s, width, height, mesh,
+            max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
+        )
+        film = film + jnp.concatenate([rad, jnp.ones((rad.shape[0], 1), jnp.float32)], axis=1)
+    return film.reshape(height, width, 4)

@@ -1,0 +1,211 @@
+"""BSDF correctness: white-furnace energy tests, pdf integration, volumes.
+
+The furnace test checks E[weakening * bsdf / pdf] == albedo for sampled
+directions — exactly the path-weight update the integrator applies
+(integrator.rs:249), so it validates sample/eval consistency end-to-end.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from path_tracer_tpu.core.rng import uniform4
+from path_tracer_tpu.integrator import bsdf as bsdf_mod
+from path_tracer_tpu.scene.materials import (
+    Dielectric,
+    GGXDielectric,
+    GGXMetal,
+    Lambertian,
+    Specular,
+    pack_materials,
+)
+
+N = 40000
+
+
+def _lane_mats(mat_table, n=N):
+    idx = jnp.zeros(n, jnp.int32)
+    return bsdf_mod.gather_mat({k: jnp.asarray(v) for k, v in mat_table.items()}, idx)
+
+
+def _setup(n=N, seed=0):
+    rs = np.random.default_rng(seed)
+    normal = jnp.asarray(np.tile([0.0, 0.0, 1.0], (n, 1)), jnp.float32)
+    # incoming rays from the upper hemisphere pointing down at the surface
+    d = rs.normal(size=(n, 3))
+    d[:, 2] = -np.abs(d[:, 2]) - 0.1
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(d, jnp.float32), normal
+
+
+def _throughput(mat, ray_dir, normal, front, u):
+    m = _lane_mats(mat)
+    wo = bsdf_mod.sample_bsdf(m, ray_dir, normal, front, u)
+    wi_viewer = -ray_dir
+    bsdf_v, pdf = bsdf_mod.eval_bsdf_pdf(m, wi_viewer, wo, normal, front)
+    weak = bsdf_mod.get_weakening(m, wo, normal)
+    w = weak[:, None] * bsdf_v / pdf[:, None]
+    return np.asarray(w), np.asarray(wo), np.asarray(pdf)
+
+
+def test_lambertian_furnace():
+    mat = pack_materials([Lambertian((0.73, 0.5, 0.25))])
+    d, n = _setup()
+    u = uniform4(jnp.arange(N, dtype=jnp.uint32), 0, 0, 3)
+    w, wo, pdf = _throughput(mat, d, n, jnp.ones(N, bool), u)
+    # cosine-sampled: weakening*bsdf/pdf = albedo exactly, per-sample
+    np.testing.assert_allclose(w, np.tile([0.73, 0.5, 0.25], (N, 1)), rtol=1e-4)
+    assert (wo[:, 2] > 0).all()
+
+
+def test_specular_mirror():
+    mat = pack_materials([Specular((0.9, 0.9, 0.9))])
+    d, n = _setup()
+    u = uniform4(jnp.arange(N, dtype=jnp.uint32), 0, 0, 3)
+    w, wo, pdf = _throughput(mat, d, n, jnp.ones(N, bool), u)
+    np.testing.assert_allclose(w, 0.9, rtol=1e-5)
+    # mirror: wo.z == -d.z
+    np.testing.assert_allclose(wo[:, 2], -np.asarray(d)[:, 2], atol=1e-5)
+
+
+def test_ggx_metal_furnace_energy_bounded():
+    """GGX reflective with white f0. The reference samples the VNDF but
+    weights with the plain NDF pdf (material.rs:248-284 vs :437-438), so the
+    per-sample ratio has a grazing-angle tail; the bulk (median) must still
+    sit at ~1 and the mean stays order-1."""
+    mat = pack_materials([GGXMetal((1.0, 1.0, 1.0), 0.3)])
+    d, n = _setup()
+    u = uniform4(jnp.arange(N, dtype=jnp.uint32), 1, 0, 3)
+    w, wo, pdf = _throughput(mat, d, n, jnp.ones(N, bool), u)
+    valid = pdf > 1e-6
+    med = np.median(w[valid, 0])
+    mean = w[valid].mean(axis=0)
+    assert 0.9 < med < 1.1, med
+    assert 0.5 < mean[0] < 1.6, mean
+    # energy symmetric across channels for white f0
+    np.testing.assert_allclose(mean, mean[0], rtol=1e-3)
+
+
+def test_ggx_dielectric_furnace():
+    """Rough glass, colour=1. Reflection throughput sits at ~1; transmission
+    carries the eta^2 radiance-compression factor of the reference BTDF
+    (material.rs:426) — >1 entering the dense medium, <1 exiting — so the
+    product over an enter/exit pair conserves energy."""
+    mat = pack_materials([GGXDielectric((1.0, 1.0, 1.0), 0.2, 1.5)])
+    d, n = _setup()
+    u = uniform4(jnp.arange(N, dtype=jnp.uint32), 2, 0, 3)
+
+    # entering (front_facing=True): eval eta = ior = 1.5
+    w, wo, pdf = _throughput(mat, d, n, jnp.ones(N, bool), u)
+    valid = pdf > 1e-6
+    refl = wo[:, 2] > 0
+    med_refl = np.median(w[valid & refl, 0])
+    med_in = np.median(w[valid & ~refl, 0])
+    assert 0.9 < med_refl < 1.1, med_refl
+    assert 1.0 < med_in < 2.25 * 2.0, med_in
+    # both lobes populated
+    assert (valid & refl).sum() > 0.03 * N and (valid & ~refl).sum() > 0.3 * N
+
+    # exiting (front_facing=False): eval eta = 1/ior
+    w2, wo2, pdf2 = _throughput(mat, d, n, jnp.zeros(N, bool), u)
+    valid2 = (pdf2 > 1e-6) & (wo2[:, 2] < 0)
+    med_out = np.median(w2[valid2, 0])
+    assert med_out < 1.0, med_out
+    # enter * exit medians roughly cancel the eta^2 factors
+    assert 0.5 < med_in * med_out < 2.0, (med_in, med_out)
+
+
+def test_dielectric_smooth_glass():
+    mat = pack_materials([Dielectric((1.0, 1.0, 1.0), 1.5)])
+    d, n = _setup()
+    u = uniform4(jnp.arange(N, dtype=jnp.uint32), 3, 0, 3)
+    w, wo, pdf = _throughput(mat, d, n, jnp.ones(N, bool), u)
+    # Delta material: bsdf/pdf is exactly the Fresnel-normalized throughput.
+    # Reflected rays carry f/f == 1; refracted carry (1-f)/eta^2/(1-f) = 1/eta^2
+    refl = wo[:, 2] > 0
+    np.testing.assert_allclose(w[refl, 0], 1.0, rtol=1e-4)
+    np.testing.assert_allclose(w[~refl, 0], 1.5**2, rtol=1e-4)
+    # Snell's law for refracted rays
+    dd = np.asarray(d)
+    sin_in = np.sqrt(np.clip(1 - dd[~refl, 2] ** 2, 0, 1))
+    sin_out = np.sqrt(np.clip(1 - wo[~refl, 2] ** 2, 0, 1))
+    np.testing.assert_allclose(sin_out, sin_in / 1.5, atol=2e-4)
+
+
+def test_ggx_eval_matches_reference_scalar():
+    """Spot-check eval_bsdf_pdf against a direct scalar transcription of
+    material.rs:349-450 for the REFLECTIVE model."""
+    a = 0.4**2  # roughness 0.4 remapped
+
+    def scalar_ref(wi, wo, colour):
+        h = wi + wo
+        h = h / np.linalg.norm(h)
+        idh = float(wi @ h)
+        odh = float(wo @ h)
+        hz = h[2]
+        cos_sq = hz * hz
+        tan_sq = np.sqrt(1 - cos_sq) / cos_sq
+        x = a * a + tan_sq
+        d = a * a / (np.pi * cos_sq * cos_sq * x * x) if hz > 0 else 0.0
+        a_sq = a * a
+        xx = 2 * wi[2] * wo[2]
+        y = 1 - a_sq
+        z = wo[2] * np.hypot(a, wi[2] * np.sqrt(y))
+        ww = wi[2] * np.hypot(a, wo[2] * np.sqrt(y))
+        g = xx / (z + ww) if wi[2] > 0 and wo[2] > 0 else 0.0
+        brdf = 1.0 * g * d / (4 * abs(wi[2] * wo[2]))
+        pdf = d * hz * 1.0 / (4 * abs(odh))
+        tint = colour + (1 - colour) * (1 - abs(idh)) ** 5
+        return brdf * tint, pdf
+
+    colour = np.array([0.3, 0.5, 0.7])
+    mat = pack_materials([GGXMetal(tuple(colour), 0.4)])
+    rs = np.random.default_rng(9)
+    for _ in range(20):
+        wi = rs.normal(size=3)
+        wi[2] = abs(wi[2]) + 0.05
+        wi /= np.linalg.norm(wi)
+        wo = rs.normal(size=3)
+        wo[2] = abs(wo[2]) + 0.05
+        wo /= np.linalg.norm(wo)
+        # world frame == tangent frame: normal +z
+        m = _lane_mats(mat, 1)
+        bsdf_v, pdf = bsdf_mod.eval_bsdf_pdf(
+            m,
+            jnp.asarray(wo[None], jnp.float32),  # viewer
+            jnp.asarray(wi[None], jnp.float32),  # scatter
+            jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+            jnp.ones(1, bool),
+        )
+        eb, ep = scalar_ref(wi, wo, colour)
+        np.testing.assert_allclose(np.asarray(bsdf_v)[0], eb, rtol=2e-3, atol=1e-6)
+        np.testing.assert_allclose(float(pdf[0]), ep, rtol=2e-3, atol=1e-6)
+
+
+def test_hg_volume_pdf_normalized_and_sampling_consistent():
+    g = 0.6
+    n = 60000
+    u = np.asarray(uniform4(jnp.arange(n, dtype=jnp.uint32), 7, 0, 3))
+    inc = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
+    d = np.asarray(bsdf_mod.hg_scatter_direction(inc, jnp.full(n, g), jnp.asarray(u[:, 0]), jnp.asarray(u[:, 1])))
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
+    # mean cosine with incoming == g
+    cos = (d * np.asarray(inc)).sum(-1)
+    assert abs(cos.mean() - g) < 0.01
+    # pdf integrates to 1 over the sphere (uniform MC over directions)
+    rs = np.random.default_rng(11)
+    dirs = rs.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pdf = np.asarray(bsdf_mod.hg_pdf(inc, jnp.asarray(dirs, jnp.float32), jnp.full(n, g)))
+    integral = pdf.mean() * 4 * np.pi
+    assert abs(integral - 1.0) < 0.02, integral
+
+
+def test_beer_lambert_and_free_flight():
+    absorb = jnp.asarray([[0.4, 0.62, 0.7]]) * 0.1
+    tr = np.asarray(bsdf_mod.transmission(absorb, jnp.asarray([10.0])))
+    np.testing.assert_allclose(tr[0], np.exp(-np.array([0.04, 0.062, 0.07]) * 10), rtol=1e-5)
+    # free flight mean = 1/c
+    c = 1.0 / 200.0
+    u = np.asarray(uniform4(jnp.arange(100000, dtype=jnp.uint32), 8, 0, 3))[:, 0]
+    t = np.asarray(bsdf_mod.free_flight(jnp.asarray(u), jnp.float32(c)))
+    assert abs(t.mean() - 200.0) < 4.0

@@ -1,0 +1,98 @@
+"""Tests for the TAA/accumulation image ops and the interactive session."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from path_tracer_tpu import scenes
+from path_tracer_tpu.interactive import taa
+from path_tracer_tpu.interactive.session import InteractiveRenderer
+
+H = W = 16
+
+
+def test_accumulate_layout():
+    acc = jnp.zeros((H, W, 4))
+    colour = jnp.ones((H, W, 4)) * 2.0
+    out = taa.accumulate(acc, colour)
+    np.testing.assert_allclose(np.asarray(out[..., :3]), 2.0)
+    np.testing.assert_allclose(np.asarray(out[..., 3]), 1.0)  # count, not colour alpha
+    out2 = taa.accumulate(out, colour)
+    np.testing.assert_allclose(np.asarray(out2[..., 3]), 2.0)
+
+
+def test_velocity_zero_for_static_camera():
+    cam = scenes.cornell_camera()
+    # positions on a plane in front of the camera
+    rs = np.random.default_rng(0)
+    pts = rs.uniform(-200, 200, (H, W, 3)).astype(np.float32)
+    pts[..., 2] = 0.0
+    pos = np.concatenate([pts, np.ones((H, W, 1), np.float32)], axis=-1)
+    wtc = jnp.asarray(cam.world_to_clip())
+
+    # For a static camera, reprojecting through the same matrix recovers the
+    # current uv IF the position actually projects to that pixel. Construct
+    # positions from the camera rays so this holds.
+    from path_tracer_tpu.camera import ray_directions
+
+    ys = (np.arange(H) + 0.5) / H
+    xs = (np.arange(W) + 0.5) / W
+    u, v = np.meshgrid(xs, ys, indexing="xy")
+    d = np.asarray(
+        ray_directions(
+            jnp.asarray(cam.view_proj_inverse()),
+            jnp.asarray(cam.origin),
+            jnp.asarray(u.ravel(), jnp.float32),
+            jnp.asarray(v.ravel(), jnp.float32),
+        )
+    )
+    t = 800.0
+    world = cam.origin[None] + d * t
+    pos = np.concatenate([world, np.full((H * W, 1), t, np.float32)], axis=-1).reshape(H, W, 4)
+
+    vel = np.asarray(taa.compute_velocity(jnp.asarray(pos), wtc))
+    assert np.abs(vel).max() < 1e-3
+
+
+def test_clip_aabb_inside_unchanged():
+    q = jnp.asarray([[0.5, 0.5, 0.5]])
+    out = taa._clip_aabb(jnp.asarray([[0.0, 0.0, 0.0]]), jnp.asarray([[1.0, 1.0, 1.0]]), q)
+    np.testing.assert_allclose(np.asarray(out), 0.5)
+    q2 = jnp.asarray([[2.0, 0.5, 0.5]])
+    out2 = np.asarray(
+        taa._clip_aabb(jnp.asarray([[0.0, 0.0, 0.0]]), jnp.asarray([[1.0, 1.0, 1.0]]), q2)
+    )
+    assert 0.0 <= out2[0, 0] <= 1.001  # clipped toward center
+
+
+def test_ycocg_roundtrip():
+    rs = np.random.default_rng(1)
+    rgb = jnp.asarray(rs.uniform(0, 1, (64, 3)), jnp.float32)
+    back = np.asarray(taa._ycocg_to_rgb(taa._rgb_to_ycocg(rgb)))
+    np.testing.assert_allclose(back, np.asarray(rgb), atol=1e-6)
+
+
+def test_interactive_session_static_then_move():
+    scene_host, cam = scenes.cornell_diffuse()
+    r = InteractiveRenderer(scene_host, cam, W, H, max_bounces=4)
+    r.frame()
+    r.frame()
+    assert float(r.accumulation[..., 3].max()) == 2.0
+    frame_static = r.display()
+    assert frame_static.shape == (H, W, 3)
+    assert np.isfinite(frame_static).all()
+
+    # move the camera: TAA reprojection path resets the accumulation count
+    r.key("w", dt=1e-4)
+    r.frame()
+    assert float(r.accumulation[..., 3].max()) == 1.0
+    frame_moved = r.display()
+    assert np.isfinite(frame_moved).all()
+    # image changed
+    assert np.abs(frame_moved - frame_static).max() > 1e-4
+
+
+def test_pack_ids():
+    prev = jnp.asarray([[0x00AB]], jnp.uint32)
+    new = jnp.asarray([[0x00CD]], jnp.uint32)
+    packed = np.asarray(taa.pack_ids(prev, new))[0, 0]
+    assert packed == (0xAB << 16) | 0xCD

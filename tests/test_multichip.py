@@ -1,0 +1,69 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Verifies the SURVEY.md §7 determinism requirement: sharded renders match
+single-device renders because RNG keys derive from absolute film lanes and
+sample ids, never from device indices. Identity is up to float reassociation
+(~1 ulp) — XLA may fuse the differently-shaped per-shard programs differently.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from path_tracer_tpu import scenes
+from path_tracer_tpu.integrator.wavefront import render_sample
+from path_tracer_tpu.parallel.mesh import (
+    make_mesh,
+    render_sample_sharded,
+    render_spp_sharded,
+)
+
+W = H = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene_host, cam = scenes.cornell_diffuse()
+    scene = scene_host.device()
+    return scene, jnp.asarray(cam.view_proj_inverse()), jnp.asarray(cam.origin)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_tile_sharded_matches_single_device(setup):
+    scene, ndc, org = setup
+    mesh = make_mesh(8)
+    rad_sh, rays_sh = render_sample_sharded(scene, ndc, org, 0, W, H, mesh, max_bounces=6)
+    rad_ref, _, _, rays_ref = render_sample(
+        scene, ndc, org, 0, W, H, max_bounces=6, enable_nee=True, has_lights=True
+    )
+    np.testing.assert_allclose(np.asarray(rad_sh), np.asarray(rad_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(jnp.sum(rays_sh)), float(jnp.sum(rays_ref)))
+
+
+def test_spp_sharded_psum_matches_sequential(setup):
+    scene, ndc, org = setup
+    mesh = make_mesh(4)
+    acc = np.asarray(render_spp_sharded(scene, ndc, org, 0, W, H, mesh, max_bounces=6))
+    # sequential references for samples 0..3
+    expect = np.zeros((W * H, 4), np.float32)
+    for s in range(4):
+        rad, _, _, _ = render_sample(
+            scene, ndc, org, s, W, H, max_bounces=6, enable_nee=True, has_lights=True
+        )
+        expect[:, :3] += np.asarray(rad)
+        expect[:, 3] += 1.0
+    np.testing.assert_allclose(acc, expect, rtol=1e-6, atol=1e-6)
+
+
+def test_uneven_mesh_sizes(setup):
+    scene, ndc, org = setup
+    mesh = make_mesh(2)
+    rad_sh, _ = render_sample_sharded(scene, ndc, org, 3, W, H, mesh, max_bounces=4)
+    rad_ref, _, _, _ = render_sample(
+        scene, ndc, org, 3, W, H, max_bounces=4, enable_nee=True, has_lights=True
+    )
+    np.testing.assert_allclose(np.asarray(rad_sh), np.asarray(rad_ref), rtol=1e-5, atol=1e-6)
