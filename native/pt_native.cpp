@@ -1,0 +1,381 @@
+// Native host runtime for path_tracer_tpu: OBJ parsing + binned-SAH BVH build.
+//
+// The reference implements these as Rust host code (load_obj at
+// src/tlas/tlas_bvh/blas.rs:44-131; the SAH builder at
+// src/tlas/tlas_bvh/blas/blas_bvh.rs:62-136). Device-side work belongs to
+// XLA/Pallas; this library covers the host cold paths where Python-level
+// loops would dominate scene build time for large meshes (dragon-class,
+// ~1M triangles).
+//
+// Exposed via a plain C ABI consumed through ctypes (no pybind11 in image).
+// Algorithms are behavior-compatible with the Python builders in
+// path_tracer_tpu/scene/{objio,bvh}.py — the test suite cross-checks them.
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+extern "C" {
+
+void pt_free(void *p) { std::free(p); }
+
+// ---------------------------------------------------------------- OBJ load
+
+struct V3 {
+  float x, y, z;
+};
+
+static inline V3 v3_sub(V3 a, V3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+static inline V3 v3_cross(V3 a, V3 b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+
+// Parse an OBJ file with the same semantics as the Python loader
+// (v/vn/f only, 1-based + negative indices, fan triangulation, face-normal
+// fallback, vn normalized on load). Returns 0 on success.
+// Outputs: *out_pos / *out_nrm are malloc'd [T*9] float arrays (T triangles,
+// 3 vertices x 3 components); caller frees with pt_free.
+int obj_load(const char *path, float **out_pos, float **out_nrm, int64_t *out_tris) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return 1;
+
+  std::vector<V3> positions(1, V3{0, 0, 0});  // 1-based pad
+  std::vector<V3> normals(1, V3{0, 0, 0});
+  std::vector<float> tri_pos, tri_nrm;
+
+  char line[8192];
+  std::vector<std::pair<int64_t, int64_t>> refs;
+  while (std::fgets(line, sizeof line, f)) {
+    char *s = line;
+    while (*s == ' ' || *s == '\t') s++;
+    if (s[0] == 'v' && (s[1] == ' ' || s[1] == '\t')) {
+      V3 p;
+      if (std::sscanf(s + 1, "%f %f %f", &p.x, &p.y, &p.z) == 3) positions.push_back(p);
+    } else if (s[0] == 'v' && s[1] == 'n' && (s[2] == ' ' || s[2] == '\t')) {
+      V3 n;
+      if (std::sscanf(s + 2, "%f %f %f", &n.x, &n.y, &n.z) == 3) {
+        float len = std::sqrt(n.x * n.x + n.y * n.y + n.z * n.z);
+        if (len > 0) {
+          n.x /= len;
+          n.y /= len;
+          n.z /= len;
+        }
+        normals.push_back(n);
+      }
+    } else if (s[0] == 'f' && (s[1] == ' ' || s[1] == '\t')) {
+      refs.clear();
+      char *tok = s + 1;
+      while (*tok) {
+        while (*tok == ' ' || *tok == '\t') tok++;
+        if (!*tok || *tok == '\n' || *tok == '\r') break;
+        char *end = tok;
+        while (*end && *end != ' ' && *end != '\t' && *end != '\n' && *end != '\r') end++;
+        // token is tok..end: v[/vt[/vn]]
+        int64_t v = std::strtoll(tok, nullptr, 10);
+        int64_t vn = 0;
+        char *slash = tok;
+        int slashes = 0;
+        while (slash < end) {
+          if (*slash == '/') {
+            slashes++;
+            if (slashes == 2) vn = std::strtoll(slash + 1, nullptr, 10);
+          }
+          slash++;
+        }
+        if (v < 0) v = (int64_t)positions.size() + v;
+        if (vn < 0) vn = (int64_t)normals.size() + vn;
+        refs.emplace_back(v, vn);
+        tok = end;
+      }
+      // fan triangulation (blas.rs:97-119 semantics)
+      for (size_t i = 1; i + 1 < refs.size(); i++) {
+        const std::pair<int64_t, int64_t> corner[3] = {refs[0], refs[i], refs[i + 1]};
+        V3 p[3];
+        for (int k = 0; k < 3; k++) p[k] = positions[(size_t)corner[k].first];
+        V3 face_n = v3_cross(v3_sub(p[1], p[0]), v3_sub(p[2], p[0]));
+        for (int k = 0; k < 3; k++) {
+          V3 n = corner[k].second != 0 ? normals[(size_t)corner[k].second] : face_n;
+          tri_pos.insert(tri_pos.end(), {p[k].x, p[k].y, p[k].z});
+          tri_nrm.insert(tri_nrm.end(), {n.x, n.y, n.z});
+        }
+      }
+    }
+  }
+  std::fclose(f);
+
+  int64_t t = (int64_t)tri_pos.size() / 9;
+  *out_tris = t;
+  *out_pos = (float *)std::malloc(tri_pos.size() * sizeof(float));
+  *out_nrm = (float *)std::malloc(tri_nrm.size() * sizeof(float));
+  std::memcpy(*out_pos, tri_pos.data(), tri_pos.size() * sizeof(float));
+  std::memcpy(*out_nrm, tri_nrm.data(), tri_nrm.size() * sizeof(float));
+  return 0;
+}
+
+// ------------------------------------------------------------- SAH builder
+
+namespace {
+
+constexpr int kDesiredBins = 64;
+constexpr float kTraversalCost = 1.0f;
+constexpr float kIntersectionCost = 2.0f;
+
+struct Box {
+  float mn[3], mx[3];
+  void reset() {
+    for (int i = 0; i < 3; i++) {
+      mn[i] = INFINITY;
+      mx[i] = -INFINITY;
+    }
+  }
+  void grow(const Box &o) {
+    for (int i = 0; i < 3; i++) {
+      mn[i] = std::min(mn[i], o.mn[i]);
+      mx[i] = std::max(mx[i], o.mx[i]);
+    }
+  }
+  float sa() const {
+    float v0 = mx[0] - mn[0], v1 = mx[1] - mn[1], v2 = mx[2] - mn[2];
+    return 2.0f * (v0 * v2 + v1 * v0 + v2 * v1);
+  }
+};
+
+struct Node {
+  Box box;
+  bool leaf;
+  int64_t a, b;  // leaf: (start,count); internal: (left,right) node ids
+};
+
+struct Builder {
+  const float *bbmin, *bbmax;
+  int64_t max_leaf;
+  std::vector<int64_t> perm;
+  std::vector<Node> nodes;
+  std::vector<Box> boxes;        // scratch: boxes in perm order for a range
+  std::vector<Box> suffix;       // suffix accumulations
+
+  Box prim_box(int64_t id) const {
+    Box b;
+    for (int i = 0; i < 3; i++) {
+      b.mn[i] = bbmin[id * 3 + i];
+      b.mx[i] = bbmax[id * 3 + i];
+    }
+    return b;
+  }
+
+  int64_t build(int64_t start, int64_t end) {
+    int64_t span = end - start;
+    Box node_box;
+    node_box.reset();
+    for (int64_t i = start; i < end; i++) node_box.grow(prim_box(perm[i]));
+
+    if (span == 1) {
+      nodes.push_back({node_box, true, start, 1});
+      return (int64_t)nodes.size() - 1;
+    }
+
+    // longest axis of node bounds (blas_bvh.rs:82)
+    int axis = 0;
+    float best_len = node_box.mx[0] - node_box.mn[0];
+    for (int i = 1; i < 3; i++) {
+      float len = node_box.mx[i] - node_box.mn[i];
+      if (len > best_len) {
+        best_len = len;
+        axis = i;
+      }
+    }
+
+    // stable sort by AABB min along the axis (glidesort / stable argsort)
+    std::stable_sort(
+        perm.begin() + start, perm.begin() + end,
+        [&](int64_t a, int64_t b) { return bbmin[a * 3 + axis] < bbmin[b * 3 + axis]; });
+
+    // equal-count candidate splits (blas_bvh.rs:93-110)
+    int64_t bin_size = std::max<int64_t>(span / kDesiredBins, 1);
+    int64_t num_bins = span / bin_size - 1;
+    if (num_bins <= 0) num_bins = 1;
+
+    suffix.resize(span);
+    Box acc;
+    acc.reset();
+    for (int64_t i = span - 1; i >= 0; i--) {
+      acc.grow(prim_box(perm[start + i]));
+      suffix[i] = acc;
+    }
+
+    // SAH evaluated in double with float32 surface areas — matches the
+    // NumPy builder's NEP-50 promotion (int64 * float32 -> float64) so both
+    // builders make identical split decisions.
+    double bb_sa = std::max((double)node_box.sa(), 1e-30);
+    double best_sah = INFINITY;
+    int64_t best_split = bin_size;
+    // candidate count matches the Python builder: (i+1)*bin_size for
+    // i in [0, span/bin_size - 1), clipped to j < span
+    int64_t candidates = std::max<int64_t>(span / bin_size - 1, 1);
+    Box pre;
+    pre.reset();
+    int64_t next_candidate = bin_size;
+    int64_t used = 0;
+    for (int64_t j = 1; j < span && used < candidates; j++) {
+      pre.grow(prim_box(perm[start + j - 1]));
+      if (j == next_candidate) {
+        double sah = (double)kTraversalCost +
+                     ((double)j * (double)pre.sa() +
+                      (double)(span - j) * (double)suffix[j].sa()) *
+                         (double)kIntersectionCost / bb_sa;
+        if (sah < best_sah) {
+          best_sah = sah;
+          best_split = j;
+        }
+        used++;
+        next_candidate += bin_size;
+      }
+    }
+
+    double no_split_sah = (double)kIntersectionCost * (double)span;
+    if (no_split_sah < best_sah && span <= max_leaf) {
+      nodes.push_back({node_box, true, start, span});
+      return (int64_t)nodes.size() - 1;
+    }
+
+    int64_t left = build(start, start + best_split);
+    int64_t right = build(start + best_split, end);
+    nodes.push_back({node_box, false, left, right});
+    return (int64_t)nodes.size() - 1;
+  }
+};
+
+struct FlatWriter {
+  // SoA flat records matching scene/bvh.py flatten()
+  std::vector<float> c0_min, c0_max, c1_min, c1_max;
+  std::vector<int32_t> c0_idx, c0_count, c1_idx, c1_count;
+  const std::vector<Node> *nodes;
+
+  int64_t emit_placeholder() {
+    for (auto *v : {&c0_min, &c0_max, &c1_min, &c1_max})
+      v->insert(v->end(), {0, 0, 0});
+    c0_idx.push_back(0);
+    c0_count.push_back(0);
+    c1_idx.push_back(0);
+    c1_count.push_back(0);
+    return (int64_t)c0_idx.size() - 1;
+  }
+
+  void set_box(std::vector<float> &arr, int64_t slot, const float *v) {
+    for (int i = 0; i < 3; i++) arr[slot * 3 + i] = v[i];
+  }
+
+  void fill(int64_t slot, const Node &node) {
+    const Node &left = (*nodes)[node.a];
+    const Node &right = (*nodes)[node.b];
+    set_box(c0_min, slot, left.box.mn);
+    set_box(c0_max, slot, left.box.mx);
+    set_box(c1_min, slot, right.box.mn);
+    set_box(c1_max, slot, right.box.mx);
+    if (left.leaf) {
+      c0_idx[slot] = (int32_t)left.a;
+      c0_count[slot] = (int32_t)left.b;
+    } else {
+      int64_t child = emit_placeholder();
+      c0_idx[slot] = (int32_t)child;
+      c0_count[slot] = 0;
+      fill(child, left);
+    }
+    if (right.leaf) {
+      c1_idx[slot] = (int32_t)right.a;
+      c1_count[slot] = (int32_t)right.b;
+    } else {
+      int64_t child = emit_placeholder();
+      c1_idx[slot] = (int32_t)child;
+      c1_count[slot] = 0;
+      fill(child, right);
+    }
+  }
+};
+
+int64_t depth_of(const std::vector<Node> &nodes, int64_t root) {
+  std::vector<std::pair<int64_t, int64_t>> stack{{root, 0}};
+  int64_t depth = 0;
+  while (!stack.empty()) {
+    auto [i, d] = stack.back();
+    stack.pop_back();
+    depth = std::max(depth, d);
+    if (!nodes[(size_t)i].leaf) {
+      stack.push_back({nodes[(size_t)i].a, d + 1});
+      stack.push_back({nodes[(size_t)i].b, d + 1});
+    }
+  }
+  return depth;
+}
+
+}  // namespace
+
+// Build + flatten a binned-SAH BVH. Inputs: bbmin/bbmax [n*3]. Outputs
+// (malloc'd, caller pt_free's): perm [n] int64, and the 8 flat arrays
+// ([m*3] float / [m] int32). Returns m (node count), or -1 on error.
+// *out_depth receives the tree depth for traversal stack sizing.
+int64_t bvh_build(const float *bbmin, const float *bbmax, int64_t n, int64_t max_leaf,
+                  int64_t **out_perm, float **c0_min, float **c0_max, float **c1_min,
+                  float **c1_max, int32_t **c0_idx, int32_t **c0_count, int32_t **c1_idx,
+                  int32_t **c1_count, int64_t *out_depth) {
+  if (n <= 0) return -1;
+  Builder b;
+  b.bbmin = bbmin;
+  b.bbmax = bbmax;
+  b.max_leaf = max_leaf;
+  b.perm.resize(n);
+  std::iota(b.perm.begin(), b.perm.end(), 0);
+  b.nodes.reserve((size_t)(2 * n));
+  int64_t root = b.build(0, n);
+  *out_depth = depth_of(b.nodes, root);
+
+  FlatWriter w;
+  w.nodes = &b.nodes;
+  int64_t slot0 = w.emit_placeholder();
+  const Node &rn = b.nodes[(size_t)root];
+  if (rn.leaf) {
+    w.set_box(w.c0_min, slot0, rn.box.mn);
+    w.set_box(w.c0_max, slot0, rn.box.mx);
+    float inf[3] = {INFINITY, INFINITY, INFINITY};
+    float ninf[3] = {-INFINITY, -INFINITY, -INFINITY};
+    w.set_box(w.c1_min, slot0, inf);
+    w.set_box(w.c1_max, slot0, ninf);
+    w.c0_idx[slot0] = (int32_t)rn.a;
+    w.c0_count[slot0] = (int32_t)rn.b;
+    w.c1_idx[slot0] = 0;
+    w.c1_count[slot0] = -1;
+  } else {
+    w.fill(slot0, rn);
+  }
+
+  int64_t m = (int64_t)w.c0_idx.size();
+  auto copy_f = [](const std::vector<float> &v) {
+    float *p = (float *)std::malloc(v.size() * sizeof(float));
+    std::memcpy(p, v.data(), v.size() * sizeof(float));
+    return p;
+  };
+  auto copy_i = [](const std::vector<int32_t> &v) {
+    int32_t *p = (int32_t *)std::malloc(v.size() * sizeof(int32_t));
+    std::memcpy(p, v.data(), v.size() * sizeof(int32_t));
+    return p;
+  };
+  *out_perm = (int64_t *)std::malloc((size_t)n * sizeof(int64_t));
+  std::memcpy(*out_perm, b.perm.data(), (size_t)n * sizeof(int64_t));
+  *c0_min = copy_f(w.c0_min);
+  *c0_max = copy_f(w.c0_max);
+  *c1_min = copy_f(w.c1_min);
+  *c1_max = copy_f(w.c1_max);
+  *c0_idx = copy_i(w.c0_idx);
+  *c0_count = copy_i(w.c0_count);
+  *c1_idx = copy_i(w.c1_idx);
+  *c1_count = copy_i(w.c1_count);
+  return m;
+}
+
+}  // extern "C"

@@ -1,0 +1,112 @@
+"""Command-line renderer: ``python -m path_tracer_tpu.cli [...]``.
+
+Replaces the reference's recompile-to-configure workflow (SURVEY.md §1: "no
+CLI, no config files — the API is editing constants in main.rs"). Supports
+the built-in procedural scenes or a JSON scene file, progressive rendering
+with periodic checkpoints, and resumable renders.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native path tracer")
+    p.add_argument("--scene", default="cornell_diffuse",
+                   help="named scene (cornell_diffuse, cornell_specular, cornell_volume, "
+                        "mesh_scene, many_instance_scene, env_sphere_scene) or a .json scene file")
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=576)
+    p.add_argument("--spp", type=int, default=64)
+    p.add_argument("--max-bounces", type=int, default=64)
+    p.add_argument("--no-nee", action="store_true", help="disable next-event estimation")
+    p.add_argument("--fov", type=float, default=40.0)
+    p.add_argument("--out", default="render.png")
+    p.add_argument("--checkpoint", default=None, help="checkpoint .npz path (resume if exists)")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--multichip", action="store_true", help="tile film across all devices")
+    p.add_argument("--profile-dir", default=None, help="jax.profiler trace output dir")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.camera import Camera
+    from path_tracer_tpu.film import load_checkpoint, resolve, save_checkpoint, save_png
+    from path_tracer_tpu.integrator.wavefront import render_sample
+    from path_tracer_tpu.utils.config import load_scene_json
+    from path_tracer_tpu.utils.profiling import PhaseTimer, RayRateMeter, device_trace
+
+    timers = PhaseTimer()
+    aspect = args.width / args.height
+    with timers.phase("scene build"):
+        if args.scene.endswith(".json"):
+            scene_host = load_scene_json(args.scene)
+            cam = Camera((0.0, 277.5, 1300.0), (0.0, 277.5, 0.0), fov=args.fov,
+                         aspect_ratio=aspect)
+        else:
+            scene_host, cam = getattr(scenes, args.scene)(aspect=aspect)
+
+    with timers.phase("upload"):
+        scene = scene_host.device()
+    has_lights = "light" in scene
+    ndc = jnp.asarray(cam.view_proj_inverse())
+    org = jnp.asarray(cam.origin)
+
+    start = 0
+    film = jnp.zeros((args.height, args.width, 4), jnp.float32)
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        film, start = load_checkpoint(args.checkpoint)
+        print(f"resumed at sample {start}")
+
+    meter = RayRateMeter()
+    mesh = None
+    if args.multichip:
+        from path_tracer_tpu.parallel.mesh import make_mesh, render_sample_sharded
+
+        mesh = make_mesh()
+
+    with device_trace(args.profile_dir):
+        for s in range(start, args.spp):
+            if mesh is not None:
+                rad, rays = render_sample_sharded(
+                    scene, ndc, org, s, args.width, args.height, mesh,
+                    max_bounces=args.max_bounces, enable_nee=not args.no_nee,
+                    has_lights=has_lights,
+                )
+            else:
+                rad, _, _, rays = render_sample(
+                    scene, ndc, org, s, args.width, args.height,
+                    max_bounces=args.max_bounces, enable_nee=not args.no_nee,
+                    has_lights=has_lights,
+                )
+            with meter.measure(0.0):
+                rad.block_until_ready()
+            meter.rays += float(rays.sum())
+            meter.samples += 1
+            frame = jnp.concatenate([rad, jnp.ones((rad.shape[0], 1), jnp.float32)], axis=1)
+            film = film + frame.reshape(args.height, args.width, 4)
+            if args.checkpoint and args.checkpoint_every and (s + 1) % args.checkpoint_every == 0:
+                save_checkpoint(args.checkpoint, film, s + 1)
+
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, film, args.spp)
+    save_png(args.out, film)
+    print(json.dumps({
+        "out": args.out, "spp": args.spp,
+        "mrays_per_s": round(meter.mrays_per_s, 2),
+        "spp_per_s": round(meter.spp_per_s, 3),
+    }))
+    print(timers.report())
+
+
+if __name__ == "__main__":
+    main()

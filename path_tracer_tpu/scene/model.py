@@ -53,7 +53,12 @@ class Model:
         if self.positions is None:
             if self.file_path is None:
                 raise ValueError("Model needs file_path or triangle arrays")
-            self.positions, self.normals = load_obj(self.file_path)
+            from path_tracer_tpu import native
+
+            if native.available():
+                self.positions, self.normals = native.load_obj(self.file_path)
+            else:
+                self.positions, self.normals = load_obj(self.file_path)
         self.positions = np.asarray(self.positions, np.float32)
         if self.normals is None:
             # face-normal fallback for procedurally passed geometry

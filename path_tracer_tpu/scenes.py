@@ -52,17 +52,17 @@ def _cornell_shell() -> list[Model]:
     ]
 
 
-def cornell_diffuse() -> tuple[Scene, Camera]:
+def cornell_diffuse(aspect: float = 1.0) -> tuple[Scene, Camera]:
     """BASELINE config 1: all-diffuse Cornell with the two boxes."""
     models = _cornell_shell()
     tall_p, tall_n = procedural.box((-90.0, 165.0, -65.0), (82.5, 165.0, 82.5))
     short_p, short_n = procedural.box((92.5, 82.5, 85.0), (82.5, 82.5, 82.5))
     models.append(Model(Lambertian(BLUE), positions=tall_p, normals=tall_n))
     models.append(Model(Lambertian(GRAY), positions=short_p, normals=short_n))
-    return Scene(models), cornell_camera()
+    return Scene(models), cornell_camera(aspect)
 
 
-def cornell_specular() -> tuple[Scene, Camera]:
+def cornell_specular(aspect: float = 1.0) -> tuple[Scene, Camera]:
     """BASELINE config 2: metal + glass spheres with RR termination."""
     models = _cornell_shell()
     metal_p, metal_n = procedural.icosphere((-120.0, 100.0, -50.0), 100.0, 3)
@@ -71,28 +71,28 @@ def cornell_specular() -> tuple[Scene, Camera]:
     models.append(Model(GGXMetal((0.1, 0.1, 0.45), 0.4), positions=metal_p, normals=metal_n))
     models.append(Model(Dielectric((0.95, 0.95, 0.95), 1.5), positions=glass_p, normals=glass_n))
     models.append(Model(Specular((1.0, 1.0, 1.0)), positions=mirror_p, normals=mirror_n))
-    return Scene(models), cornell_camera()
+    return Scene(models), cornell_camera(aspect)
 
 
-def cornell_volume() -> tuple[Scene, Camera]:
+def cornell_volume(aspect: float = 1.0) -> tuple[Scene, Camera]:
     """Rough-glass (GGX transmissive) sphere with an absorbing/scattering
     medium — the reference's brown-glass dragon material (main.rs:80,87)."""
     models = _cornell_shell()
     vol = Volume(absorption=(0.4, 0.62, 0.7), k=0.1, c=1.0 / 200.0, g=0.6)
     p, n = procedural.icosphere((0.0, 150.0, 0.0), 140.0, 3)
     models.append(Model(GGXDielectric((0.95, 0.95, 0.95), 0.2, 1.5, vol), positions=p, normals=n))
-    return Scene(models), cornell_camera()
+    return Scene(models), cornell_camera(aspect)
 
 
-def mesh_scene(subdivisions: int = 4) -> tuple[Scene, Camera]:
+def mesh_scene(subdivisions: int = 4, aspect: float = 1.0) -> tuple[Scene, Camera]:
     """BASELINE config 3: dense triangle mesh through the full BVH."""
     models = _cornell_shell()
     p, n = procedural.icosphere((0.0, 200.0, 0.0), 160.0, subdivisions)
     models.append(Model(GGXMetal((0.8, 0.6, 0.2), 0.3), positions=p, normals=n))
-    return Scene(models), cornell_camera()
+    return Scene(models), cornell_camera(aspect)
 
 
-def many_instance_scene(grid: int = 6, subdivisions: int = 2) -> tuple[Scene, Camera]:
+def many_instance_scene(grid: int = 6, subdivisions: int = 2, aspect: float = 1.0) -> tuple[Scene, Camera]:
     """BASELINE config 5: many instanced meshes (instances baked to world)."""
     models = _cornell_shell()
     p, n = procedural.icosphere((0.0, 0.0, 0.0), 30.0, subdivisions)
@@ -105,10 +105,10 @@ def many_instance_scene(grid: int = 6, subdivisions: int = 2) -> tuple[Scene, Ca
             y = 40.0 + 60.0 * ((i * 7 + j * 3) % 5)
             mats.append(rigid_transform(rotation_y(0.37 * (i + grid * j)), (x, y, z)))
     models.append(Model(Lambertian((0.6, 0.5, 0.4)), matrices=mats, positions=p, normals=n))
-    return Scene(models), cornell_camera()
+    return Scene(models), cornell_camera(aspect)
 
 
-def env_sphere_scene(env_size: int = 64) -> tuple[Scene, Camera]:
+def env_sphere_scene(env_size: int = 64, aspect: float = 1.0) -> tuple[Scene, Camera]:
     """Mirror sphere under a synthetic gradient environment map — exercises
     the equirect miss shader (integrator.rs:256-266)."""
     p, n = procedural.icosphere((0.0, 0.0, 0.0), 1.0, 3)
@@ -120,5 +120,5 @@ def env_sphere_scene(env_size: int = 64) -> tuple[Scene, Camera]:
         [0.2 + 0.8 * xx * np.ones_like(yy), 0.1 + 0.6 * yy * np.ones_like(xx), 0.3 * np.ones((h, w))],
         axis=-1,
     ).astype(np.float32)
-    cam = Camera((0.0, 0.0, 4.0), (0.0, 0.0, 0.0), fov=45.0, aspect_ratio=1.0)
+    cam = Camera((0.0, 0.0, 4.0), (0.0, 0.0, 0.0), fov=45.0, aspect_ratio=aspect)
     return Scene(models, env=env), cam

@@ -1,0 +1,73 @@
+"""Config layer + CLI smoke tests."""
+
+import json
+
+import numpy as np
+
+from path_tracer_tpu.utils.config import RenderConfig, load_scene_json
+
+
+def test_render_config_defaults_match_reference():
+    cfg = RenderConfig()
+    # main.rs:43-51
+    assert cfg.width == 1024 and cfg.height == 576
+    assert cfg.spp == 256
+    assert cfg.max_bounces == 1024
+    assert cfg.enable_nee is True
+    assert abs(cfg.aspect_ratio - 16 / 9) < 1e-6
+
+
+def test_load_scene_json(tmp_path):
+    desc = {
+        "models": [
+            {
+                "primitive": {"type": "cornell_walls"},
+                "material": {"type": "lambertian", "albedo": [0.73, 0.73, 0.73]},
+            },
+            {
+                "primitive": {"type": "cornell_light"},
+                "material": {"type": "emissive", "emitted": [15, 15, 15]},
+            },
+            {
+                "primitive": {"type": "icosphere", "center": [0, 100, 0], "radius": 80, "subdivisions": 1},
+                "material": {
+                    "type": "ggx_dielectric", "colour": [0.95, 0.95, 0.95],
+                    "roughness": 0.2, "ior": 1.5,
+                    "volume": {"absorption": [0.4, 0.62, 0.7], "k": 0.1, "c": 0.005, "g": 0.6},
+                },
+                "instances": [
+                    {"translation": [0, 0, 0]},
+                    {"rotation_y": 3.14159, "translation": [0, 200, 0]},
+                ],
+            },
+        ]
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(desc))
+    scene = load_scene_json(p)
+    assert scene.has_lights
+    # 2 instances of the sphere: 80 tris each + 6 walls + 2 light tris
+    assert scene.num_world_tris == 6 + 2 + 2 * 80
+    assert bool(scene.mat["has_volume"][2])
+    np.testing.assert_allclose(
+        scene.mat["vol_absorption"][2], np.array([0.4, 0.62, 0.7]) * 0.1, rtol=1e-6
+    )
+
+
+def test_cli_tiny_render(tmp_path):
+    from path_tracer_tpu import cli
+
+    out = tmp_path / "out.png"
+    ckpt = tmp_path / "c.npz"
+    cli.main([
+        "--scene", "cornell_diffuse", "--width", "16", "--height", "16",
+        "--spp", "2", "--max-bounces", "4", "--out", str(out),
+        "--checkpoint", str(ckpt),
+    ])
+    assert out.exists() and ckpt.exists()
+    # resume runs no extra samples but rewrites outputs
+    cli.main([
+        "--scene", "cornell_diffuse", "--width", "16", "--height", "16",
+        "--spp", "2", "--max-bounces", "4", "--out", str(out),
+        "--checkpoint", str(ckpt),
+    ])
