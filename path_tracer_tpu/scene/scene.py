@@ -127,7 +127,11 @@ class Scene:
         self.num_world_tris = world_pos.shape[0]
 
     def device(self) -> SceneData:
-        """Upload to device as a nested dict pytree of jnp arrays."""
+        """Upload to device as a nested dict pytree of jnp arrays.
+
+        Adds the packed row tables (`trace.traversal.pack_bvh`/`pack_tris`)
+        that the traversal kernels gather from — one row fetch per step."""
+        from path_tracer_tpu.trace.traversal import pack_bvh, pack_tris
 
         def up(d):
             return {k: jnp.asarray(v) for k, v in d.items()}
@@ -138,7 +142,11 @@ class Scene:
             "mat": up(self.mat),
             "env": jnp.asarray(self.env),
         }
+        data["bvh"]["packed"] = jnp.asarray(pack_bvh(self.bvh))
+        data["tri"]["packed"] = jnp.asarray(pack_tris(self.tri))
         if self.has_lights:
             data["lights_bvh"] = up(self.lights_bvh)
             data["light"] = up(self.light)
+            data["lights_bvh"]["packed"] = jnp.asarray(pack_bvh(self.lights_bvh))
+            data["light"]["packed"] = jnp.asarray(pack_tris(self.light))
         return data

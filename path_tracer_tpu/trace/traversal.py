@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -60,19 +61,21 @@ def _same_sign(a, b):
     return (a >= 0.0) == (b >= 0.0)
 
 
-def _tri_intersect(tri, idx, o, d, t_min, t_max):
+def _tri_intersect(tri_packed, idx, o, d, t_min, t_max):
     """Batched Havel-Herout test for triangle ``idx`` per lane.
 
-    ``o`` must already be pre-translated (primitive.rs:147-155); ``t_min`` /
-    ``t_max`` are in the translated frame. Returns (hit, t, u, v) with t in
-    the translated frame.
+    ``tri_packed``: the ``[T, 16]`` row table from `pack_tris` — one gather
+    fetches all plane data. ``o`` must already be pre-translated
+    (primitive.rs:147-155); ``t_min``/``t_max`` are in the translated frame.
+    Returns (hit, t, u, v) with t in the translated frame.
     """
-    n0 = jnp.take(tri["n0"], idx, axis=0)
-    d0 = jnp.take(tri["d0"], idx, axis=0)
-    n1 = jnp.take(tri["n1"], idx, axis=0)
-    d1 = jnp.take(tri["d1"], idx, axis=0)
-    n2 = jnp.take(tri["n2"], idx, axis=0)
-    d2 = jnp.take(tri["d2"], idx, axis=0)
+    rows = jnp.take(tri_packed, idx, axis=0)  # [N, 16]
+    n0 = rows[:, 0:3]
+    d0 = rows[:, 3]
+    n1 = rows[:, 4:7]
+    d1 = rows[:, 7]
+    n2 = rows[:, 8:11]
+    d2 = rows[:, 11]
 
     det = jnp.sum(d * n0, axis=-1)
     td = d0 - jnp.sum(o * n0, axis=-1)
@@ -95,15 +98,49 @@ def _tri_intersect(tri, idx, o, d, t_min, t_max):
     return hit, t, u, v
 
 
-def _child_codes(bvh, ni):
-    """Gather both children of internal nodes ``ni``; returns per-child
-    (min, max, code, valid)."""
+def pack_bvh(flat: dict) -> jnp.ndarray:
+    """Pack the 8 flat node arrays into one ``[M, 16]`` f32 row table.
+
+    HBM-bandwidth optimization: one gather per traversal step instead of
+    eight. Row layout: c0_min(3) c0_max(3) c1_min(3) c1_max(3)
+    c0_idx c0_count c1_idx c1_count (int32 bit-cast into f32 lanes).
+    """
+    f = lambda k: np.asarray(flat[k], np.float32)
+    i = lambda k: np.asarray(flat[k], np.int32).view(np.float32)[:, None]
+    rows = np.concatenate(
+        [f("c0_min"), f("c0_max"), f("c1_min"), f("c1_max"),
+         i("c0_idx"), i("c0_count"), i("c1_idx"), i("c1_count")],
+        axis=1,
+    )
+    return rows.astype(np.float32)
+
+
+def pack_tris(tri: dict) -> jnp.ndarray:
+    """Pack Havel-Herout plane data into one ``[T, 16]`` f32 row table:
+    n0(3) d0 n1(3) d1 n2(3) d2 + 4 pad lanes (128-friendly width)."""
+    t = np.asarray(tri["d0"]).shape[0]
+    rows = np.concatenate(
+        [
+            np.asarray(tri["n0"], np.float32), np.asarray(tri["d0"], np.float32)[:, None],
+            np.asarray(tri["n1"], np.float32), np.asarray(tri["d1"], np.float32)[:, None],
+            np.asarray(tri["n2"], np.float32), np.asarray(tri["d2"], np.float32)[:, None],
+            np.zeros((t, 4), np.float32),
+        ],
+        axis=1,
+    )
+    return rows
+
+
+def _child_codes_packed(packed: jnp.ndarray, ni):
+    """Single-gather fetch of both children of internal nodes ``ni``."""
+    rows = jnp.take(packed, ni, axis=0)  # [N, 16]
+    ints = jax.lax.bitcast_convert_type(rows[:, 12:16], jnp.int32)
     out = []
-    for c in ("c0", "c1"):
-        cmin = jnp.take(bvh[f"{c}_min"], ni, axis=0)
-        cmax = jnp.take(bvh[f"{c}_max"], ni, axis=0)
-        cidx = jnp.take(bvh[f"{c}_idx"], ni, axis=0)
-        ccount = jnp.take(bvh[f"{c}_count"], ni, axis=0)
+    for c in range(2):
+        cmin = rows[:, 6 * c : 6 * c + 3]
+        cmax = rows[:, 6 * c + 3 : 6 * c + 6]
+        cidx = ints[:, 2 * c]
+        ccount = ints[:, 2 * c + 1]
         code = jnp.where(ccount > 0, _encode_leaf(cidx, ccount), cidx)
         out.append((cmin, cmax, code, ccount != -1))
     return out
@@ -117,8 +154,8 @@ def _stack_write(stack, sp, value):
     return jax.vmap(lambda row, i, v: row.at[i].set(v))(stack, sp, value)
 
 
-@partial(jax.jit, static_argnames=("geom_static",))
-def _closest_hit_impl(bvh, tri, origin, direction, t_limit, geom_static=None):
+@jax.jit
+def _closest_hit_impl(nodes_packed, tri_packed, origin, direction, t_limit):
     n = origin.shape[0]
     inv_d = 1.0 / direction
 
@@ -159,7 +196,7 @@ def _closest_hit_impl(bvh, tri, origin, direction, t_limit, geom_static=None):
 
         # --- internal step: test both children, descend near, push far ---
         ni = jnp.where(is_internal, cur, 0)
-        (c0min, c0max, code0, ok0), (c1min, c1max, code1, ok1) = _child_codes(bvh, ni)
+        (c0min, c0max, code0, ok0), (c1min, c1max, code1, ok1) = _child_codes_packed(nodes_packed, ni)
         hit0, t0 = _slab(c0min, c0max, origin, inv_d, t_max)
         hit1, t1 = _slab(c1min, c1max, origin, inv_d, t_max)
         hit0 = hit0 & ok0
@@ -191,10 +228,10 @@ def _closest_hit_impl(bvh, tri, origin, direction, t_limit, geom_static=None):
         o_moved = origin + direction * t_est[:, None]
         best, best_u, best_v = s["best"], s["best_u"], s["best_v"]
         for k in range(MAX_LEAF):
-            tri_idx = jnp.clip(start + k, 0, tri["d0"].shape[0] - 1)
+            tri_idx = jnp.clip(start + k, 0, tri_packed.shape[0] - 1)
             lane_on = is_leaf & (k < count)
             h, t, u, v = _tri_intersect(
-                tri, tri_idx, o_moved, direction,
+                tri_packed, tri_idx, o_moved, direction,
                 jnp.float32(EPSILON) - t_est, t_max - t_est,
             )
             t_world = t + t_est
@@ -219,6 +256,8 @@ def _closest_hit_impl(bvh, tri, origin, direction, t_limit, geom_static=None):
 def closest_hit(bvh, tri, origin, direction, t_limit=None):
     """Closest intersection of each ray with the geometry.
 
+    ``bvh``/``tri`` are the scene dicts; their ``"packed"`` row tables (see
+    `pack_bvh`/`pack_tris`) are the only arrays touched in the hot loop.
     Returns ``(tri_idx, t, u, v)``; ``tri_idx == -1`` means miss (t is the
     unmodified limit there). Mirrors ``TLAS::intersect``/``BLAS::intersect``
     composition on the flattened world geometry.
@@ -226,11 +265,11 @@ def closest_hit(bvh, tri, origin, direction, t_limit=None):
     n = origin.shape[0]
     if t_limit is None:
         t_limit = jnp.full(n, INFINITY, jnp.float32)
-    return _closest_hit_impl(bvh, tri, origin, direction, t_limit)
+    return _closest_hit_impl(bvh["packed"], tri["packed"], origin, direction, t_limit)
 
 
-@partial(jax.jit)
-def _any_hit_impl(bvh, tri, origin, direction, t_limit):
+@jax.jit
+def _any_hit_impl(nodes_packed, tri_packed, origin, direction, t_limit):
     n = origin.shape[0]
     inv_d = 1.0 / direction
 
@@ -263,7 +302,7 @@ def _any_hit_impl(bvh, tri, origin, direction, t_limit):
         is_leaf = (cur <= -2) & ~found
 
         ni = jnp.where(is_internal, cur, 0)
-        (c0min, c0max, code0, ok0), (c1min, c1max, code1, ok1) = _child_codes(bvh, ni)
+        (c0min, c0max, code0, ok0), (c1min, c1max, code1, ok1) = _child_codes_packed(nodes_packed, ni)
         hit0, t0 = _slab(c0min, c0max, origin, inv_d, t_limit)
         hit1, t1 = _slab(c1min, c1max, origin, inv_d, t_limit)
         hit0 = hit0 & ok0
@@ -282,10 +321,10 @@ def _any_hit_impl(bvh, tri, origin, direction, t_limit):
         t_est = cur_t
         o_moved = origin + direction * t_est[:, None]
         for k in range(MAX_LEAF):
-            tri_idx = jnp.clip(start + k, 0, tri["d0"].shape[0] - 1)
+            tri_idx = jnp.clip(start + k, 0, tri_packed.shape[0] - 1)
             lane_on = is_leaf & (k < count)
             h, _, _, _ = _tri_intersect(
-                tri, tri_idx, o_moved, direction,
+                tri_packed, tri_idx, o_moved, direction,
                 jnp.float32(EPSILON) - t_est, t_limit - t_est,
             )
             found = found | (lane_on & h)
@@ -304,19 +343,20 @@ def any_hit(bvh, tri, origin, direction, t_limit):
     The shadow-ray test (``TLAS::any_intersect``, tlas.rs:111-144); callers
     pass ``(1 - EPSILON) * distance`` as the limit like ``integrator.rs:56``.
     """
-    return _any_hit_impl(bvh, tri, origin, direction, t_limit)
+    return _any_hit_impl(bvh["packed"], tri["packed"], origin, direction, t_limit)
 
 
 @jax.jit
 def brute_force_closest(tri, origin, direction, t_limit):
     """O(T) reference oracle for tests: test every triangle for every ray."""
-    t_count = tri["d0"].shape[0]
+    tri_packed = tri["packed"]
+    t_count = tri_packed.shape[0]
     n = origin.shape[0]
 
     def body(i, s):
         best, best_u, best_v, t_max = s
         idx = jnp.full(n, i, jnp.int32)
-        h, t, u, v = _tri_intersect(tri, idx, origin, direction, jnp.float32(EPSILON), t_max)
+        h, t, u, v = _tri_intersect(tri_packed, idx, origin, direction, jnp.float32(EPSILON), t_max)
         t_max = jnp.where(h, t, t_max)
         best = jnp.where(h, idx, best)
         best_u = jnp.where(h, u, best_u)

@@ -188,9 +188,11 @@ def test_hg_volume_pdf_normalized_and_sampling_consistent():
     inc = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
     d = np.asarray(bsdf_mod.hg_scatter_direction(inc, jnp.full(n, g), jnp.asarray(u[:, 0]), jnp.asarray(u[:, 1])))
     np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
-    # mean cosine with incoming == g
+    # The reference builds the sampling frame around -incoming
+    # (volume.rs:58: generate_onb(-incoming)), so the sampled mean cosine
+    # w.r.t. the ray direction is -g. Reproduced faithfully.
     cos = (d * np.asarray(inc)).sum(-1)
-    assert abs(cos.mean() - g) < 0.01
+    assert abs(cos.mean() + g) < 0.01
     # pdf integrates to 1 over the sphere (uniform MC over directions)
     rs = np.random.default_rng(11)
     dirs = rs.normal(size=(n, 3))

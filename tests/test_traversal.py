@@ -12,7 +12,9 @@ def _make_geom(positions):
     bb_min, bb_max = triangle.aabbs(positions)
     flat, perm, _ = bvh.build_bvh(bb_min, bb_max)
     tri = {k: jnp.asarray(v[perm]) for k, v in pre.items()}
+    tri["packed"] = jnp.asarray(traversal.pack_tris({k: v[perm] for k, v in pre.items()}))
     flat = {k: jnp.asarray(v) for k, v in flat.items()}
+    flat["packed"] = jnp.asarray(traversal.pack_bvh(flat))
     return flat, tri, positions[perm]
 
 
