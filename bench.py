@@ -29,11 +29,14 @@ def main():
     scene = scene_host.device()
     ndc = jnp.asarray(cam.view_proj_inverse())
     origin = jnp.asarray(cam.origin)
+    spp_batch = 8
 
     def step(sample_id):
         rad, _, _, rays = render_sample(
             scene, ndc, origin, sample_id, width, height,
             max_bounces=64, enable_nee=True, has_lights=True,
+            spp=spp_batch, mtypes=scene_host.active_mtypes,
+            any_volumes=scene_host.has_volumes,
         )
         return rad, jnp.sum(rays)
 
@@ -41,19 +44,19 @@ def main():
     rad, nrays = step(np.uint32(0))
     rad.block_until_ready()
 
-    samples = 4
+    batches = 2
     t0 = time.perf_counter()
     total_rays = 0.0
     acc = None
-    for s in range(1, samples + 1):
-        rad, nrays = step(np.uint32(s))
+    for s in range(batches):
+        rad, nrays = step(np.uint32(spp_batch * (s + 1)))
         acc = rad if acc is None else acc + rad
         total_rays += float(nrays)
     acc.block_until_ready()
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6
-    spp_s = samples / dt
+    spp_s = batches * spp_batch / dt
     print(
         json.dumps(
             {

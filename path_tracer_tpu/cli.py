@@ -74,28 +74,36 @@ def main(argv=None):
 
         mesh = make_mesh()
 
+    mtypes = scene_host.active_mtypes
+    any_volumes = scene_host.has_volumes
+    batch = max(1, min(32, args.checkpoint_every or 32))
     with device_trace(args.profile_dir):
-        for s in range(start, args.spp):
+        s = start
+        while s < args.spp:
+            cur = min(batch, args.spp - s)
             if mesh is not None:
                 rad, rays = render_sample_sharded(
                     scene, ndc, org, s, args.width, args.height, mesh,
                     max_bounces=args.max_bounces, enable_nee=not args.no_nee,
-                    has_lights=has_lights,
+                    has_lights=has_lights, spp=cur, mtypes=mtypes,
+                    any_volumes=any_volumes,
                 )
             else:
                 rad, _, _, rays = render_sample(
                     scene, ndc, org, s, args.width, args.height,
                     max_bounces=args.max_bounces, enable_nee=not args.no_nee,
-                    has_lights=has_lights,
+                    has_lights=has_lights, spp=cur, mtypes=mtypes,
+                    any_volumes=any_volumes,
                 )
             with meter.measure(0.0):
                 rad.block_until_ready()
             meter.rays += float(rays.sum())
-            meter.samples += 1
-            frame = jnp.concatenate([rad, jnp.ones((rad.shape[0], 1), jnp.float32)], axis=1)
+            meter.samples += cur
+            frame = jnp.concatenate([rad, jnp.full((rad.shape[0], 1), cur, jnp.float32)], axis=1)
             film = film + frame.reshape(args.height, args.width, 4)
-            if args.checkpoint and args.checkpoint_every and (s + 1) % args.checkpoint_every == 0:
-                save_checkpoint(args.checkpoint, film, s + 1)
+            s += cur
+            if args.checkpoint and args.checkpoint_every:
+                save_checkpoint(args.checkpoint, film, s)
 
     if args.checkpoint:
         save_checkpoint(args.checkpoint, film, args.spp)

@@ -38,8 +38,13 @@ PI = jnp.float32(jnp.pi)
 
 
 def gather_mat(mat: dict, idx: jnp.ndarray) -> dict:
-    """Per-lane material parameters from the packed table."""
-    return {k: jnp.take(v, jnp.maximum(idx, 0), axis=0) for k, v in mat.items()}
+    """Per-lane material parameters: ONE row gather from the packed material
+    table (see scene.materials.pack_material_rows / trace.gather)."""
+    from path_tracer_tpu.scene.materials import unpack_material_rows
+    from path_tracer_tpu.trace.gather import gather_rows
+
+    rows = gather_rows(mat["rows"], jnp.maximum(idx, 0))
+    return unpack_material_rows(rows)
 
 
 def _schlick(cos: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
@@ -116,53 +121,70 @@ def _ggx_g_uncorrelated(a, wi, wo):
     return jnp.where((wiz <= 0.0) | (woz <= 0.0), 0.0, g)
 
 
-def sample_bsdf(m: dict, ray_dir, normal, front_facing, u4):
+ALL_MTYPES = (
+    MTYPE_LAMBERTIAN, MTYPE_EMISSIVE, MTYPE_SPECULAR,
+    MTYPE_GGX_REFLECTIVE, MTYPE_GGX_TRANSMISSIVE, MTYPE_DIELECTRIC,
+)
+
+
+def sample_bsdf(m: dict, ray_dir, normal, front_facing, u4, mtypes=ALL_MTYPES):
     """Sample a scatter direction for every lane (``scatter_direction``).
 
     ``m``: per-lane gathered material params; ``u4``: [N,4] uniforms. Draw
     usage — Lambertian: (u0,u1); GGX: (u0,u1) half-vector + u2 reflect choice;
-    Dielectric: u0 choice. Returns unit directions [N,3]."""
+    Dielectric: u0 choice. ``mtypes`` (static) limits which material models
+    are compiled in — scene-adaptive specialization, e.g. an all-diffuse
+    Cornell pays nothing for GGX trig. Returns unit directions [N,3]."""
     u0, u1, u2 = u4[..., 0], u4[..., 1], u4[..., 2]
-
-    # Lambertian (material.rs:104-107)
-    lamb = onb_apply(generate_onb(normal), random_cosine_vector(u0, u1))
-
-    # Specular mirror (material.rs:153)
-    spec = reflect(ray_dir, normal)
-
-    # GGX: half-vector then reflect/refract (material.rs:317-347)
-    h = _ggx_half_vector(m["ggx_a"], ray_dir, normal, u0, u1)
-    ggx_refl = reflect(ray_dir, h)
-    eta_t = _eta(front_facing, m["ior"], entering_recip=True)
-    f0 = ((eta_t - 1.0) / (eta_t + 1.0)) ** 2
-    f_h = _schlick(-dot(ray_dir, h), f0)
-    refr_h, tir_h = refract(ray_dir, h, eta_t)
-    ggx_reflects = tir_h | (u2 < f_h)
-    ggx_trans = jnp.where(ggx_reflects[..., None], ggx_refl, refr_h)
-
-    # Dielectric (material.rs:496-509)
-    cos_d = -dot(ray_dir, normal)
-    sin2_scaled = eta_t * eta_t * (1.0 - cos_d * cos_d)
-    f0_d = ((eta_t - 1.0) / (eta_t + 1.0)) ** 2
-    f_d = jnp.where(sin2_scaled > 1.0, 1.0, _schlick(cos_d, f0_d))
-    refr_n, _ = refract(ray_dir, normal, eta_t)
-    diel = jnp.where((u0 < f_d)[..., None], reflect(ray_dir, normal), refr_n)
-
+    ggx = MTYPE_GGX_REFLECTIVE in mtypes or MTYPE_GGX_TRANSMISSIVE in mtypes
     mt = m["mtype"][..., None]
-    out = jnp.where(mt == MTYPE_LAMBERTIAN, lamb, jnp.zeros_like(lamb))
-    out = jnp.where(mt == MTYPE_SPECULAR, spec, out)
-    out = jnp.where(mt == MTYPE_GGX_REFLECTIVE, ggx_refl, out)
-    out = jnp.where(mt == MTYPE_GGX_TRANSMISSIVE, ggx_trans, out)
-    out = jnp.where(mt == MTYPE_DIELECTRIC, diel, out)
+    out = jnp.zeros_like(ray_dir)
+
+    if MTYPE_LAMBERTIAN in mtypes:
+        lamb = onb_apply(generate_onb(normal), random_cosine_vector(u0, u1))
+        out = jnp.where(mt == MTYPE_LAMBERTIAN, lamb, out)
+
+    if MTYPE_SPECULAR in mtypes:
+        out = jnp.where(mt == MTYPE_SPECULAR, reflect(ray_dir, normal), out)
+
+    if ggx or MTYPE_DIELECTRIC in mtypes:
+        eta_t = _eta(front_facing, m["ior"], entering_recip=True)
+
+    if ggx:
+        # GGX: half-vector then reflect/refract (material.rs:317-347)
+        h = _ggx_half_vector(m["ggx_a"], ray_dir, normal, u0, u1)
+        ggx_refl = reflect(ray_dir, h)
+        if MTYPE_GGX_REFLECTIVE in mtypes:
+            out = jnp.where(mt == MTYPE_GGX_REFLECTIVE, ggx_refl, out)
+        if MTYPE_GGX_TRANSMISSIVE in mtypes:
+            f0 = ((eta_t - 1.0) / (eta_t + 1.0)) ** 2
+            f_h = _schlick(-dot(ray_dir, h), f0)
+            refr_h, tir_h = refract(ray_dir, h, eta_t)
+            ggx_reflects = tir_h | (u2 < f_h)
+            ggx_trans = jnp.where(ggx_reflects[..., None], ggx_refl, refr_h)
+            out = jnp.where(mt == MTYPE_GGX_TRANSMISSIVE, ggx_trans, out)
+
+    if MTYPE_DIELECTRIC in mtypes:
+        # Dielectric (material.rs:496-509)
+        cos_d = -dot(ray_dir, normal)
+        sin2_scaled = eta_t * eta_t * (1.0 - cos_d * cos_d)
+        f0_d = ((eta_t - 1.0) / (eta_t + 1.0)) ** 2
+        f_d = jnp.where(sin2_scaled > 1.0, 1.0, _schlick(cos_d, f0_d))
+        refr_n, _ = refract(ray_dir, normal, eta_t)
+        diel = jnp.where((u0 < f_d)[..., None], reflect(ray_dir, normal), refr_n)
+        out = jnp.where(mt == MTYPE_DIELECTRIC, diel, out)
     return out
 
 
-def eval_bsdf_pdf(m: dict, wi_viewer, wo_scatter, normal, front_facing):
+def eval_bsdf_pdf(m: dict, wi_viewer, wo_scatter, normal, front_facing, mtypes=ALL_MTYPES):
     """``get_bsdf_pdf(incoming=wi_viewer, outgoing=wo_scatter)`` for every lane.
 
     Returns ``(bsdf [N,3], pdf [N])``. Invalid combinations yield pdf<=0 and
     are culled by the integrator's ``pdf < MIN_PDF`` check (integrator.rs:243).
+    ``mtypes`` (static) limits which models are compiled in.
     """
+    ggx = MTYPE_GGX_REFLECTIVE in mtypes or MTYPE_GGX_TRANSMISSIVE in mtypes
+
     # Lambertian (material.rs:109-115)
     cos_l = dot(wo_scatter, normal)
     lamb_bsdf = m["colour"] / PI
@@ -173,88 +195,106 @@ def eval_bsdf_pdf(m: dict, wi_viewer, wo_scatter, normal, front_facing):
     spec_bsdf = m["colour"]
     one = jnp.ones_like(cos_l)
 
-    # --- GGX shared tangent-space setup (material.rs:349-398) ---
-    onb = generate_onb(normal)
-    wi = onb_apply_transpose(onb, wo_scatter)  # reference naming: wi = scatter
-    wo = onb_apply_transpose(onb, wi_viewer)  # wo = viewer
-    a = m["ggx_a"]
-    transmitted = wi[..., 2] < 0.0
+    if ggx:
+        # --- GGX shared tangent-space setup (material.rs:349-398) ---
+        onb = generate_onb(normal)
+        wi = onb_apply_transpose(onb, wo_scatter)  # reference naming: wi = scatter
+        wo = onb_apply_transpose(onb, wi_viewer)  # wo = viewer
+        a = m["ggx_a"]
+        transmitted = wi[..., 2] < 0.0
 
-    # Half-vector: reflection branch
-    h_refl = normalize(wi + wo, eps=1e-20)
-    # Transmission branch (TRANSMISSIVE only): eta*wi + wo, sign-corrected
-    eta_e = _eta(front_facing, m["ior"], entering_recip=False)
-    h_t_raw = normalize(eta_e[..., None] * wi + wo, eps=1e-20)
-    h_trans = h_t_raw * jnp.where(h_t_raw[..., 2] >= 0.0, 1.0, -1.0)[..., None]
-    is_trans_model = m["mtype"] == MTYPE_GGX_TRANSMISSIVE
-    h = jnp.where((transmitted & is_trans_model)[..., None], h_trans, h_refl)
+        # Half-vector: reflection branch
+        h_refl = normalize(wi + wo, eps=1e-20)
+        eta_e = _eta(front_facing, m["ior"], entering_recip=False)
+        is_trans_model = m["mtype"] == MTYPE_GGX_TRANSMISSIVE
+        if MTYPE_GGX_TRANSMISSIVE in mtypes:
+            # Transmission branch: eta*wi + wo, sign-corrected
+            h_t_raw = normalize(eta_e[..., None] * wi + wo, eps=1e-20)
+            h_trans = h_t_raw * jnp.where(h_t_raw[..., 2] >= 0.0, 1.0, -1.0)[..., None]
+            h = jnp.where((transmitted & is_trans_model)[..., None], h_trans, h_refl)
+        else:
+            h = h_refl
 
-    i_dot_h = dot(wi, h)
-    o_dot_h = dot(wo, h)
-    d = _ggx_d(a, h)
+        i_dot_h = dot(wi, h)
+        o_dot_h = dot(wo, h)
+        d = _ggx_d(a, h)
 
-    # F and G per sub-model (material.rs:384-398)
-    f0 = ((eta_e - 1.0) / (eta_e + 1.0)) ** 2
-    f_trans = _schlick(jnp.abs(i_dot_h), f0)
-    g_trans = _ggx_g1(a, wi, h) * _ggx_g1(a, wo, h)
-    f_refl_model = jnp.ones_like(f_trans)
-    g_refl_model = _ggx_g_uncorrelated(a, wi, wo)
-    f = jnp.where(is_trans_model, f_trans, f_refl_model)
-    g = jnp.where(is_trans_model, g_trans, g_refl_model)
+        # F and G per sub-model (material.rs:384-398)
+        f_refl_model = jnp.ones_like(i_dot_h)
+        g_refl_model = _ggx_g_uncorrelated(a, wi, wo)
+        if MTYPE_GGX_TRANSMISSIVE in mtypes:
+            f0 = ((eta_e - 1.0) / (eta_e + 1.0)) ** 2
+            f_trans = _schlick(jnp.abs(i_dot_h), f0)
+            g_trans = _ggx_g1(a, wi, h) * _ggx_g1(a, wo, h)
+            f = jnp.where(is_trans_model, f_trans, f_refl_model)
+            g = jnp.where(is_trans_model, g_trans, g_refl_model)
+        else:
+            f, g = f_refl_model, g_refl_model
 
-    # Transmission lobe (material.rs:400-428)
-    x = jnp.abs(i_dot_h * o_dot_h)
-    y = jnp.abs(wi[..., 2] * wo[..., 2])
-    z = (1.0 - f) * g * d
-    w = eta_e * i_dot_h + o_dot_h
-    btdf = (x * z) / jnp.maximum(y * w * w, 1e-20)
-    trans_bsdf = m["colour"] * (btdf * eta_e * eta_e)[..., None]
-    jac_t = jnp.abs(o_dot_h) / jnp.maximum(w * w, 1e-20)
-    trans_pdf = d * (1.0 - f) * jnp.abs(h[..., 2]) * jac_t
+        # Reflection lobe, shared by both models (material.rs:430-448)
+        brdf = f * g * d / jnp.maximum(4.0 * jnp.abs(wi[..., 2] * wo[..., 2]), 1e-20)
+        refl_pdf = d * h[..., 2] * f / jnp.maximum(4.0 * jnp.abs(o_dot_h), 1e-20)
+        tint = jnp.where(
+            is_trans_model[..., None],
+            jnp.ones_like(m["colour"]),
+            _schlick_vec(jnp.abs(i_dot_h), m["colour"]),
+        )
+        refl_bsdf = tint * brdf[..., None]
 
-    # Reflection lobe, shared by both models (material.rs:430-448)
-    brdf = f * g * d / jnp.maximum(4.0 * jnp.abs(wi[..., 2] * wo[..., 2]), 1e-20)
-    refl_pdf = d * h[..., 2] * f / jnp.maximum(4.0 * jnp.abs(o_dot_h), 1e-20)
-    tint = jnp.where(
-        is_trans_model[..., None],
-        jnp.ones_like(m["colour"]),
-        _schlick_vec(jnp.abs(i_dot_h), m["colour"]),
-    )
-    refl_bsdf = tint * brdf[..., None]
+        if MTYPE_GGX_TRANSMISSIVE in mtypes:
+            # Transmission lobe (material.rs:400-428)
+            x = jnp.abs(i_dot_h * o_dot_h)
+            y = jnp.abs(wi[..., 2] * wo[..., 2])
+            z = (1.0 - f) * g * d
+            w = eta_e * i_dot_h + o_dot_h
+            btdf = (x * z) / jnp.maximum(y * w * w, 1e-20)
+            trans_bsdf = m["colour"] * (btdf * eta_e * eta_e)[..., None]
+            jac_t = jnp.abs(o_dot_h) / jnp.maximum(w * w, 1e-20)
+            trans_pdf = d * (1.0 - f) * jnp.abs(h[..., 2]) * jac_t
+            ggx_bsdf = jnp.where(transmitted[..., None], trans_bsdf, refl_bsdf)
+            ggx_pdf = jnp.where(transmitted, trans_pdf, refl_pdf)
+        else:
+            ggx_bsdf, ggx_pdf = refl_bsdf, refl_pdf
+        # REFLECTIVE model cannot transmit (material.rs:405)
+        refl_model_invalid = transmitted & (m["mtype"] == MTYPE_GGX_REFLECTIVE)
+        ggx_bsdf = jnp.where(refl_model_invalid[..., None], 0.0, ggx_bsdf)
+        ggx_pdf = jnp.where(refl_model_invalid, 0.0, ggx_pdf)
 
-    ggx_bsdf = jnp.where(transmitted[..., None], trans_bsdf, refl_bsdf)
-    ggx_pdf = jnp.where(transmitted, trans_pdf, refl_pdf)
-    # REFLECTIVE model cannot transmit (material.rs:405)
-    refl_model_invalid = transmitted & (m["mtype"] == MTYPE_GGX_REFLECTIVE)
-    ggx_bsdf = jnp.where(refl_model_invalid[..., None], 0.0, ggx_bsdf)
-    ggx_pdf = jnp.where(refl_model_invalid, 0.0, ggx_pdf)
-
-    # Dielectric (material.rs:511-527), with the reference's cosine quirk
-    eta_d = _eta(front_facing, m["ior"], entering_recip=True)
-    cos_q = -dot(wi_viewer, wo_scatter)
-    sin2 = eta_d * eta_d * (1.0 - cos_q * cos_q)
-    f0_d = ((eta_d - 1.0) / (eta_d + 1.0)) ** 2
-    f_d = jnp.where(sin2 > 1.0, 1.0, _schlick(cos_q, f0_d))
-    refl_side = dot(wo_scatter, normal) > 0.0
-    diel_bsdf = jnp.where(
-        refl_side[..., None],
-        jnp.broadcast_to(f_d[..., None], m["colour"].shape),
-        m["colour"] * ((1.0 - f_d) / (eta_d * eta_d))[..., None],
-    )
-    diel_pdf = jnp.where(refl_side, f_d, 1.0 - f_d)
+    if MTYPE_DIELECTRIC in mtypes:
+        # Dielectric (material.rs:511-527), with the reference's cosine quirk
+        eta_d = _eta(front_facing, m["ior"], entering_recip=True)
+        cos_q = -dot(wi_viewer, wo_scatter)
+        sin2 = eta_d * eta_d * (1.0 - cos_q * cos_q)
+        f0_d = ((eta_d - 1.0) / (eta_d + 1.0)) ** 2
+        f_d = jnp.where(sin2 > 1.0, 1.0, _schlick(cos_q, f0_d))
+        refl_side = dot(wo_scatter, normal) > 0.0
+        diel_bsdf = jnp.where(
+            refl_side[..., None],
+            jnp.broadcast_to(f_d[..., None], m["colour"].shape),
+            m["colour"] * ((1.0 - f_d) / (eta_d * eta_d))[..., None],
+        )
+        diel_pdf = jnp.where(refl_side, f_d, 1.0 - f_d)
 
     mt = m["mtype"]
     mte = mt[..., None]
-    bsdf = jnp.where(mte == MTYPE_LAMBERTIAN, lamb_bsdf, jnp.zeros_like(lamb_bsdf))
-    bsdf = jnp.where(mte == MTYPE_EMISSIVE, emis_bsdf, bsdf)
-    bsdf = jnp.where(mte == MTYPE_SPECULAR, spec_bsdf, bsdf)
-    bsdf = jnp.where((mte == MTYPE_GGX_REFLECTIVE) | (mte == MTYPE_GGX_TRANSMISSIVE), ggx_bsdf, bsdf)
-    bsdf = jnp.where(mte == MTYPE_DIELECTRIC, diel_bsdf, bsdf)
-
-    pdf = jnp.where(mt == MTYPE_LAMBERTIAN, lamb_pdf, jnp.zeros_like(lamb_pdf))
-    pdf = jnp.where((mt == MTYPE_EMISSIVE) | (mt == MTYPE_SPECULAR), one, pdf)
-    pdf = jnp.where((mt == MTYPE_GGX_REFLECTIVE) | (mt == MTYPE_GGX_TRANSMISSIVE), ggx_pdf, pdf)
-    pdf = jnp.where(mt == MTYPE_DIELECTRIC, diel_pdf, pdf)
+    bsdf = jnp.zeros_like(m["colour"])
+    pdf = jnp.zeros_like(cos_l)
+    if MTYPE_LAMBERTIAN in mtypes:
+        bsdf = jnp.where(mte == MTYPE_LAMBERTIAN, lamb_bsdf, bsdf)
+        pdf = jnp.where(mt == MTYPE_LAMBERTIAN, lamb_pdf, pdf)
+    if MTYPE_EMISSIVE in mtypes:
+        bsdf = jnp.where(mte == MTYPE_EMISSIVE, emis_bsdf, bsdf)
+        pdf = jnp.where(mt == MTYPE_EMISSIVE, one, pdf)
+    if MTYPE_SPECULAR in mtypes:
+        bsdf = jnp.where(mte == MTYPE_SPECULAR, spec_bsdf, bsdf)
+        pdf = jnp.where(mt == MTYPE_SPECULAR, one, pdf)
+    if ggx:
+        is_ggx = (mte == MTYPE_GGX_REFLECTIVE) | (mte == MTYPE_GGX_TRANSMISSIVE)
+        bsdf = jnp.where(is_ggx, ggx_bsdf, bsdf)
+        pdf = jnp.where(is_ggx[..., 0], ggx_pdf, pdf)
+    if MTYPE_DIELECTRIC in mtypes:
+        bsdf = jnp.where(mte == MTYPE_DIELECTRIC, diel_bsdf, bsdf)
+        pdf = jnp.where(mt == MTYPE_DIELECTRIC, diel_pdf, pdf)
     return bsdf, pdf
 
 

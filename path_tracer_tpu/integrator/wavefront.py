@@ -47,6 +47,7 @@ from path_tracer_tpu.core.rng import pcg4d, uniform4
 from path_tracer_tpu.core.vecmath import dot, normalize, ray_at
 from path_tracer_tpu.integrator import bsdf as bsdf_mod
 from path_tracer_tpu.scene.envmap import sample_environment
+from path_tracer_tpu.trace.gather import gather_rows, searchsorted_small
 from path_tracer_tpu.trace.traversal import any_hit, closest_hit
 
 # RNG stream ids (per bounce). Volume slots use VOLUME + k.
@@ -64,16 +65,17 @@ def mis_heuristic(f: jnp.ndarray, g: jnp.ndarray, power: int = HEURISTIC_POWER) 
     return fp / (fp + g**power)
 
 
-def _interp_normal(normals: jnp.ndarray, idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    """Barycentric shading normal, normalized (primitive.rs:57-63)."""
-    tri_n = jnp.take(normals, jnp.maximum(idx, 0), axis=0)  # [N,3(vtx),3]
+def _interp_normal(normals_flat: jnp.ndarray, idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Barycentric shading normal, normalized (primitive.rs:57-63).
+    ``normals_flat``: [T, 9] single-gather table."""
+    tri_n = gather_rows(normals_flat, jnp.maximum(idx, 0)).reshape(-1, 3, 3)
     w = 1.0 - u - v
     n = tri_n[:, 0] * w[:, None] + tri_n[:, 1] * u[:, None] + tri_n[:, 2] * v[:, None]
     return normalize(n, eps=1e-20)
 
 
-def _interp_position(positions: jnp.ndarray, idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    tri_p = jnp.take(positions, jnp.maximum(idx, 0), axis=0)
+def _interp_position(positions_flat: jnp.ndarray, idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    tri_p = gather_rows(positions_flat, jnp.maximum(idx, 0)).reshape(-1, 3, 3)
     w = 1.0 - u - v
     return tri_p[:, 0] * w[:, None] + tri_p[:, 1] * u[:, None] + tri_p[:, 2] * v[:, None]
 
@@ -81,21 +83,24 @@ def _interp_position(positions: jnp.ndarray, idx: jnp.ndarray, u: jnp.ndarray, v
 def _hit_normal(scene, idx, u, v, direction):
     """Shading normal flipped against the ray + front_facing flag
     (primitive.rs:160-170)."""
-    n = _interp_normal(scene["tri"]["normals"], idx, u, v)
+    n = _interp_normal(scene["tri"]["normals_flat"], idx, u, v)
     front = dot(direction, n) < 0.0
     return jnp.where(front[:, None], n, -n), front
 
 
 def _volume_gather(mat: dict, ids: jnp.ndarray):
-    """Volume params for a stack slot of material ids (-1 = empty)."""
-    safe = jnp.maximum(ids, 0)
+    """Volume params for a stack slot of material ids (-1 = empty): one row
+    gather from the packed material table."""
+    from path_tracer_tpu.scene.materials import unpack_material_rows
+
+    m = unpack_material_rows(gather_rows(mat["rows"], jnp.maximum(ids, 0)))
     empty = ids < 0
     return {
-        "has_scatter": jnp.where(empty, False, jnp.take(mat["vol_has_scatter"], safe)),
-        "has_absorption": jnp.where(empty, False, jnp.take(mat["vol_has_absorption"], safe)),
-        "absorption": jnp.where(empty[:, None], 0.0, jnp.take(mat["vol_absorption"], safe, axis=0)),
-        "c": jnp.take(mat["vol_c"], safe),
-        "g": jnp.take(mat["vol_g"], safe),
+        "has_scatter": jnp.where(empty, False, m["vol_has_scatter"]),
+        "has_absorption": jnp.where(empty, False, m["vol_has_absorption"]),
+        "absorption": jnp.where(empty[:, None], 0.0, m["vol_absorption"]),
+        "c": m["vol_c"],
+        "g": m["vol_g"],
     }
 
 
@@ -119,7 +124,7 @@ def _stack_remove(stack: jnp.ndarray, mat_id: jnp.ndarray, enable: jnp.ndarray) 
     return jnp.where(match, -1, stack)
 
 
-def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m_lane, mask):
+def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m_lane, mask, mtypes):
     """Explicit light-sample half of NEE (integrator.rs:25-74). ``mask``
     zeroes the shadow-ray extent for lanes not doing NEE so they exit the
     traversal loop immediately."""
@@ -127,19 +132,20 @@ def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m
     u = uniform4(lane, sample_id, b, _S_NEE_LIGHT)
 
     # Power-CDF light pick (light_sampler.rs:31-37)
-    li = jnp.searchsorted(light["cdf"], u[:, 0]).astype(jnp.int32)
+    li = searchsorted_small(light["cdf"], u[:, 0])
     li = jnp.minimum(li, light["cdf"].shape[0] - 1)
-    pick_pdf = jnp.take(light["pdf"], li)
-    area = jnp.take(light["area"], li)
-    emitted = jnp.take(light["emitted"], li, axis=0)
+    lrow = gather_rows(light["rows"], li)
+    pick_pdf = lrow[:, 0]
+    area = lrow[:, 1]
+    emitted = lrow[:, 2:5]
 
     # Uniform point via diagonal flip (primitive.rs:77-91)
     pu, pv = u[:, 1], u[:, 2]
     flip = pu + pv > 1.0
     pu = jnp.where(flip, 1.0 - pu, pu)
     pv = jnp.where(flip, 1.0 - pv, pv)
-    point = _interp_position(light["positions"], li, pu, pv)
-    light_n = _interp_normal(light["normals"], li, pu, pv)
+    point = _interp_position(light["positions_flat"], li, pu, pv)
+    light_n = _interp_normal(light["normals_flat"], li, pu, pv)
 
     d_vec = point - o_s
     dist_sq = jnp.sum(d_vec * d_vec, axis=-1)
@@ -151,7 +157,7 @@ def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m
     unoccluded = ~any_hit(scene["bvh"], scene["tri"], o_s, wo, shadow_limit)
     visible = facing & unoccluded
 
-    bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front)
+    bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front, mtypes)
     sample_pdf = pick_pdf / jnp.maximum(area, 1e-20)
     cosine = jnp.abs(dot(wo, light_n))
     light_pdf = sample_pdf * dist_sq / jnp.maximum(cosine, 1e-20)
@@ -161,12 +167,12 @@ def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m
     return jnp.where(visible[:, None], contrib, 0.0)
 
 
-def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, front, m_lane, mask):
+def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, front, m_lane, mask, mtypes):
     """BSDF-sample half of NEE with the lights-BVH pretest
     (integrator.rs:77-130)."""
     light = scene["light"]
     u = uniform4(lane, sample_id, b, _S_NEE_BSDF)
-    wo = bsdf_mod.sample_bsdf(m_lane, ray_dir, normal, front, u)
+    wo = bsdf_mod.sample_bsdf(m_lane, ray_dir, normal, front, u, mtypes)
 
     facing = dot(wo, normal) > 0.0
     live = mask & facing
@@ -179,13 +185,14 @@ def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, fro
     shadow_limit = jnp.where(live & light_found, lt * (1.0 - EPSILON), 0.0)
     unoccluded = ~any_hit(scene["bvh"], scene["tri"], o_s, wo, shadow_limit)
 
-    bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front)
+    bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front, mtypes)
     valid_pdf = bsdf_pdf > MIN_PDF
 
-    pick_pdf = jnp.take(light["pdf"], jnp.maximum(li, 0))
-    area = jnp.take(light["area"], jnp.maximum(li, 0))
-    emitted = jnp.take(light["emitted"], jnp.maximum(li, 0), axis=0)
-    light_n = _interp_normal(light["normals"], li, lu, lv)
+    lrow = gather_rows(light["rows"], jnp.maximum(li, 0))
+    pick_pdf = lrow[:, 0]
+    area = lrow[:, 1]
+    emitted = lrow[:, 2:5]
+    light_n = _interp_normal(light["normals_flat"], li, lu, lv)
 
     sample_pdf = pick_pdf / jnp.maximum(area, 1e-20)
     cosine = jnp.abs(dot(wo, light_n))
@@ -196,6 +203,15 @@ def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, fro
 
     ok = facing & light_found & unoccluded & valid_pdf
     return jnp.where(ok[:, None], contrib, 0.0)
+
+
+def _sample_guard(rad):
+    """Per-sample guard (integrator.rs:272-280): non-finite -> black, then
+    firefly clamp of ||L|| to 100."""
+    finite = jnp.all(jnp.isfinite(rad), axis=-1)
+    norm = jnp.sqrt(jnp.sum(rad * rad, axis=-1))
+    scale = jnp.where(norm > FIREFLY_CLAMP, FIREFLY_CLAMP / jnp.maximum(norm, 1e-20), 1.0)
+    return jnp.where(finite[:, None], rad * scale[:, None], 0.0)
 
 
 def trace_lanes(
@@ -209,18 +225,28 @@ def trace_lanes(
     max_bounces: int = MAX_BOUNCES,
     enable_nee: bool = True,
     has_lights: bool = True,
+    spp: int = 1,
+    mtypes: tuple = bsdf_mod.ALL_MTYPES,
+    any_volumes: bool = True,
 ):
-    """Trace one path per film lane (lane = y*width + x, y bottom-up).
+    """Trace ``spp`` path samples per film lane (lane = y*width + x, y
+    bottom-up) with PATH REGENERATION: the moment a lane's path terminates it
+    starts the same pixel's next sample, so the wave stays near-full
+    occupancy instead of idling through the Russian-roulette tail — the
+    wavefront answer to the reference's per-pixel loop (SURVEY.md §7).
 
     Taking explicit lane ids (rather than deriving them from array position)
     is what makes tiling/sharding exact: a device tracing lanes [k, k+c) gets
-    bit-identical radiance to those lanes of a single-device render, because
-    every RNG draw is keyed on the lane id (SURVEY.md §7 hard part 6).
+    the same radiance as those lanes of a single-device render, because every
+    RNG draw is keyed on (lane id, sample, bounce, site) (SURVEY.md §7 hard
+    part 6).
 
     Returns ``(radiance [n,3], position [n,4], first_id [n] uint32,
-    rays_cast [n] float32)``; ``rays_cast`` counts every traversal query this
-    lane issued (world closest + lights closest + 2 shadow any-hits) — the
-    numerator of the Mrays/s benchmark metric.
+    rays_cast [n] float32)``. ``radiance`` is the SUM over the lane's ``spp``
+    samples, each individually NaN-guarded and firefly-clamped like the
+    reference does per sample. ``position``/``first_id`` reflect the first
+    sample's camera hit (the TAA buffers). ``rays_cast`` counts every
+    traversal query issued — the Mrays/s numerator.
     """
     n = lane.shape[0]
     x = (lane % width).astype(jnp.float32)
@@ -231,12 +257,19 @@ def trace_lanes(
     pix_seed, _, _, _ = pcg4d(
         lane, jnp.full_like(lane, 0x9E3779B9), jnp.full_like(lane, 0x85EBCA6B), jnp.full_like(lane, _S_CAMERA)
     )
-    offset = sobol.get_ss_sobol(jnp.full_like(lane, jnp.uint32(sample_id)), pix_seed) - 0.5
 
-    u = (x + offset[:, 0]) / width
-    v = (y + offset[:, 1]) / height
-    d = ray_directions(ndc_to_world, cam_origin, u, v)
-    o = jnp.broadcast_to(cam_origin, (n, 3)).astype(jnp.float32)
+    def camera_rays(s_idx):
+        offset = sobol.get_ss_sobol(s_idx, pix_seed) - 0.5
+        u = (x + offset[:, 0]) / width
+        v = (y + offset[:, 1]) / height
+        d = ray_directions(ndc_to_world, cam_origin, u, v)
+        o = jnp.broadcast_to(cam_origin, (n, 3)).astype(jnp.float32)
+        return o, d
+
+    base = jnp.asarray(sample_id, jnp.uint32)
+    limit = base + jnp.uint32(spp)
+    s_idx0 = jnp.full(n, base, jnp.uint32)
+    o, d = camera_rays(s_idx0)
 
     nee = enable_nee and has_lights
 
@@ -244,11 +277,13 @@ def trace_lanes(
         o=o,
         d=d,
         throughput=jnp.ones((n, 3), jnp.float32),
-        radiance=jnp.zeros((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),  # current sample
+        accum=jnp.zeros((n, 3), jnp.float32),  # flushed samples
         alive=jnp.ones(n, jnp.bool_),
         last_delta=jnp.zeros(n, jnp.bool_),
         vol_stack=jnp.full((n, VOLUME_STACK_DEPTH), -1, jnp.int32),
-        b=jnp.uint32(0),
+        b=jnp.zeros(n, jnp.uint32),
+        s_idx=s_idx0,
         position=jnp.concatenate([o + d * 1e5, jnp.full((n, 1), 1e5, jnp.float32)], axis=1),
         first_id=jnp.full(n, 0xFF, jnp.uint32),
         rays=jnp.zeros(n, jnp.float32),
@@ -257,13 +292,19 @@ def trace_lanes(
     mat = scene["mat"]
 
     def cond(s):
-        return (s["b"] <= max_bounces) & jnp.any(s["alive"])
+        return jnp.any(s["alive"])
 
     def body(s):
         o, d, alive, b = s["o"], s["d"], s["alive"], s["b"]
         throughput, radiance = s["throughput"], s["radiance"]
         last_delta, vol_stack = s["last_delta"], s["vol_stack"]
         position, first_id = s["position"], s["first_id"]
+        s_idx = s["s_idx"]
+        sample_id = s_idx  # per-lane sample index for all RNG draws
+        was_alive = alive
+
+        # Bounce-limit expiry (reference loop bound, integrator.rs:163)
+        alive = alive & (b <= max_bounces)
 
         # --- Russian roulette (integrator.rs:165-177) ---
         rr_on = alive & (b > RR_START_BOUNCE)
@@ -279,47 +320,54 @@ def trace_lanes(
         )
         hit = (tri_idx >= 0) & alive
 
-        # First-bounce position/id buffers (integrator.rs:181-185)
-        at_b0 = alive & (b == 0)
+        # First-bounce position/id buffers for the first sample only
+        # (integrator.rs:181-185; the TAA path renders 1 spp/frame)
+        at_b0 = alive & (b == 0) & (s_idx == base)
         pos_hit = jnp.concatenate([ray_at(o, d, t_hit), t_hit[:, None]], axis=1)
         position = jnp.where((at_b0 & hit)[:, None], pos_hit, position)
-        model_id = jnp.take(scene["tri"]["model"], jnp.maximum(tri_idx, 0)).astype(jnp.uint32)
-        first_id = jnp.where(at_b0 & hit, model_id, first_id)
+        model_id = gather_rows(scene["tri"]["model_rows"], jnp.maximum(tri_idx, 0))[:, 0]
+        first_id = jnp.where(at_b0 & hit, model_id.astype(jnp.uint32), first_id)
 
         # --- participating media (integrator.rs:189-205) ---
-        t_scat = jnp.full_like(t_hit, INFINITY)
-        scat_slot = jnp.zeros_like(tri_idx)
-        vol_u = [uniform4(lane, sample_id, b, _S_VOLUME + k) for k in range(VOLUME_STACK_DEPTH)]
-        slot_vols = []
-        for k in range(VOLUME_STACK_DEPTH):
-            vp = _volume_gather(mat, vol_stack[:, k])
-            slot_vols.append(vp)
-            t_k = bsdf_mod.free_flight(vol_u[k][:, 0], jnp.maximum(vp["c"], 1e-20))
-            t_k = jnp.where(vp["has_scatter"], t_k, INFINITY)
-            better = t_k < t_scat
-            t_scat = jnp.where(better, t_k, t_scat)
-            scat_slot = jnp.where(better, k, scat_slot)
-        scattered = hit & (t_scat <= t_hit)
+        # (compiled out entirely when no scene material carries a volume)
+        if any_volumes:
+            t_scat = jnp.full_like(t_hit, INFINITY)
+            scat_slot = jnp.zeros_like(tri_idx)
+            vol_u = [uniform4(lane, sample_id, b, _S_VOLUME + k) for k in range(VOLUME_STACK_DEPTH)]
+            slot_vols = []
+            for k in range(VOLUME_STACK_DEPTH):
+                vp = _volume_gather(mat, vol_stack[:, k])
+                slot_vols.append(vp)
+                t_k = bsdf_mod.free_flight(vol_u[k][:, 0], jnp.maximum(vp["c"], 1e-20))
+                t_k = jnp.where(vp["has_scatter"], t_k, INFINITY)
+                better = t_k < t_scat
+                t_scat = jnp.where(better, t_k, t_scat)
+                scat_slot = jnp.where(better, k, scat_slot)
+            scattered = hit & (t_scat <= t_hit)
 
-        # Absorption over the traveled distance (scatter distance or hit
-        # distance); reference folds over all absorbing media in the stack.
-        travel = jnp.where(scattered, t_scat, t_hit)
-        for k in range(VOLUME_STACK_DEPTH):
-            vp = slot_vols[k]
-            absorb_on = hit & vp["has_absorption"]
-            trans = bsdf_mod.transmission(vp["absorption"], travel)
-            throughput = jnp.where(absorb_on[:, None], throughput * trans, throughput)
+            # Absorption over the traveled distance (scatter distance or hit
+            # distance); reference folds over all absorbing media in the stack.
+            travel = jnp.where(scattered, t_scat, t_hit)
+            for k in range(VOLUME_STACK_DEPTH):
+                vp = slot_vols[k]
+                absorb_on = hit & vp["has_absorption"]
+                trans = bsdf_mod.transmission(vp["absorption"], travel)
+                throughput = jnp.where(absorb_on[:, None], throughput * trans, throughput)
 
-        # HG scatter direction from the winning slot's draws
-        g_win = jnp.zeros_like(t_scat)
-        u_phi = jnp.zeros_like(t_scat)
-        u_z = jnp.zeros_like(t_scat)
-        for k in range(VOLUME_STACK_DEPTH):
-            sel = scat_slot == k
-            g_win = jnp.where(sel, slot_vols[k]["g"], g_win)
-            u_phi = jnp.where(sel, vol_u[k][:, 1], u_phi)
-            u_z = jnp.where(sel, vol_u[k][:, 2], u_z)
-        hg_dir = bsdf_mod.hg_scatter_direction(d, g_win, u_phi, u_z)
+            # HG scatter direction from the winning slot's draws
+            g_win = jnp.zeros_like(t_scat)
+            u_phi = jnp.zeros_like(t_scat)
+            u_z = jnp.zeros_like(t_scat)
+            for k in range(VOLUME_STACK_DEPTH):
+                sel = scat_slot == k
+                g_win = jnp.where(sel, slot_vols[k]["g"], g_win)
+                u_phi = jnp.where(sel, vol_u[k][:, 1], u_phi)
+                u_z = jnp.where(sel, vol_u[k][:, 2], u_z)
+            hg_dir = bsdf_mod.hg_scatter_direction(d, g_win, u_phi, u_z)
+        else:
+            t_scat = t_hit
+            scattered = jnp.zeros_like(hit)
+            hg_dir = d
 
         # --- surface interaction for unscattered hit lanes ---
         surf = hit & ~scattered
@@ -340,17 +388,18 @@ def trace_lanes(
 
         # Volume stack set-update on transmissive boundaries
         # (integrator.rs:217-227)
-        has_vol = m_lane["has_volume"] & surf & ~is_emissive
-        vol_stack = _stack_insert(vol_stack, mat_idx, has_vol & front)
-        vol_stack = _stack_remove(vol_stack, mat_idx, has_vol & ~front)
+        if any_volumes:
+            has_vol = m_lane["has_volume"] & surf & ~is_emissive
+            vol_stack = _stack_insert(vol_stack, mat_idx, has_vol & front)
+            vol_stack = _stack_remove(vol_stack, mat_idx, has_vol & ~front)
 
         # NEE (integrator.rs:231-234)
         if nee:
             nee_on = surf & ~is_emissive & ~m_lane["is_delta"]
             direct = _direct_explicit(
-                scene, lane, sample_id, b, o_surf, wi_viewer, normal, front, m_lane, nee_on
+                scene, lane, sample_id, b, o_surf, wi_viewer, normal, front, m_lane, nee_on, mtypes
             ) + _direct_bsdf(
-                scene, lane, sample_id, b, o_surf, d, wi_viewer, normal, front, m_lane, nee_on
+                scene, lane, sample_id, b, o_surf, d, wi_viewer, normal, front, m_lane, nee_on, mtypes
             )
             radiance = jnp.where(nee_on[:, None], radiance + throughput * direct, radiance)
 
@@ -360,8 +409,8 @@ def trace_lanes(
 
         # BSDF scatter + path weight (integrator.rs:236-251)
         u_sc = uniform4(lane, sample_id, b, _S_SCATTER)
-        new_dir = bsdf_mod.sample_bsdf(m_lane, d, normal, front, u_sc)
-        bsdf_v, pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, new_dir, normal, front)
+        new_dir = bsdf_mod.sample_bsdf(m_lane, d, normal, front, u_sc, mtypes)
+        bsdf_v, pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, new_dir, normal, front, mtypes)
         invalid_pdf = pdf < MIN_PDF
         weakening = bsdf_mod.get_weakening(m_lane, new_dir, normal)
         scatter_w = weakening[:, None] * bsdf_v / pdf[:, None]
@@ -378,27 +427,40 @@ def trace_lanes(
         d = jnp.where(scattered[:, None], hg_dir, jnp.where(cont[:, None], new_dir, d))
         last_delta = jnp.where(scattered, True, jnp.where(cont, m_lane["is_delta"], last_delta))
         alive = alive & (scattered | cont)
+        b = jnp.where(alive, b + 1, b)
+
+        # --- flush finished samples + path regeneration ---
+        died = was_alive & ~alive
+        accum = s["accum"] + jnp.where(died[:, None], _sample_guard(radiance), 0.0)
+        next_s = s_idx + 1
+        regen = died & (next_s < limit)
+        s_idx = jnp.where(died, next_s, s_idx)
+        new_o, new_d = camera_rays(s_idx)
+        o = jnp.where(regen[:, None], new_o, o)
+        d = jnp.where(regen[:, None], new_d, d)
+        throughput = jnp.where(regen[:, None], 1.0, throughput)
+        radiance = jnp.where(died[:, None], 0.0, radiance)
+        last_delta = jnp.where(regen, False, last_delta)
+        vol_stack = jnp.where(regen[:, None], -1, vol_stack)
+        b = jnp.where(regen, 0, b)
+        alive = alive | regen
 
         return dict(
-            o=o, d=d, throughput=throughput, radiance=radiance, alive=alive,
-            last_delta=last_delta, vol_stack=vol_stack, b=b + 1,
-            position=position, first_id=first_id, rays=rays,
+            o=o, d=d, throughput=throughput, radiance=radiance, accum=accum,
+            alive=alive, last_delta=last_delta, vol_stack=vol_stack, b=b,
+            s_idx=s_idx, position=position, first_id=first_id, rays=rays,
         )
 
     out = jax.lax.while_loop(cond, body, state)
-
-    # Final guard (integrator.rs:272-280): NaN/inf -> black, firefly clamp.
-    rad = out["radiance"]
-    finite = jnp.all(jnp.isfinite(rad), axis=-1)
-    norm = jnp.sqrt(jnp.sum(rad * rad, axis=-1))
-    scale = jnp.where(norm > FIREFLY_CLAMP, FIREFLY_CLAMP / jnp.maximum(norm, 1e-20), 1.0)
-    rad = jnp.where(finite[:, None], rad * scale[:, None], 0.0)
-    return rad, out["position"], out["first_id"], out["rays"]
+    return out["accum"], out["position"], out["first_id"], out["rays"]
 
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "max_bounces", "enable_nee", "has_lights"),
+    static_argnames=(
+        "width", "height", "max_bounces", "enable_nee", "has_lights", "spp",
+        "mtypes", "any_volumes",
+    ),
 )
 def render_sample(
     scene: dict,
@@ -410,16 +472,21 @@ def render_sample(
     max_bounces: int = MAX_BOUNCES,
     enable_nee: bool = True,
     has_lights: bool = True,
+    spp: int = 1,
+    mtypes: tuple = bsdf_mod.ALL_MTYPES,
+    any_volumes: bool = True,
 ):
-    """Trace 1 sample/pixel for the whole film on one device.
+    """Trace ``spp`` samples/pixel for the whole film on one device (with
+    path regeneration between samples).
 
-    Returns ``(radiance [N,3], position [N,4], first_id [N], rays [N])`` with
-    N = width*height.
+    Returns ``(radiance_sum [N,3], position [N,4], first_id [N], rays [N])``
+    with N = width*height.
     """
     lane = jnp.arange(width * height, dtype=jnp.uint32)
     return trace_lanes(
         scene, ndc_to_world, cam_origin, sample_id, lane, width, height,
         max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
+        spp=spp, mtypes=mtypes, any_volumes=any_volumes,
     )
 
 
@@ -441,16 +508,25 @@ def render(
     """
     scene = scene_host.device() if hasattr(scene_host, "device") else scene_host
     has_lights = "light" in scene
+    mtypes = getattr(scene_host, "active_mtypes", bsdf_mod.ALL_MTYPES)
+    any_volumes = getattr(scene_host, "has_volumes", True)
     ndc_to_world = jnp.asarray(camera.view_proj_inverse())
     origin = jnp.asarray(camera.origin)
 
     if film is None:
         film = jnp.zeros((height, width, 4), jnp.float32)
-    for s in range(start_sample, start_sample + spp):
+    # One regenerating wave per batch; batches bound while-loop length and
+    # let callers checkpoint between them.
+    batch = 32
+    s = start_sample
+    while s < start_sample + spp:
+        cur = min(batch, start_sample + spp - s)
         rad, _, _, _ = render_sample(
             scene, ndc_to_world, origin, s, width, height,
             max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
+            spp=cur, mtypes=mtypes, any_volumes=any_volumes,
         )
-        frame = jnp.concatenate([rad, jnp.ones((rad.shape[0], 1), jnp.float32)], axis=1)
+        frame = jnp.concatenate([rad, jnp.full((rad.shape[0], 1), cur, jnp.float32)], axis=1)
         film = film + frame.reshape(height, width, 4)
+        s += cur
     return film

@@ -49,8 +49,11 @@ def render_sample_sharded(
     max_bounces: int = 64,
     enable_nee: bool = True,
     has_lights: bool = True,
+    spp: int = 1,
+    mtypes=None,
+    any_volumes: bool = True,
 ):
-    """One sample/pixel with film lanes sharded across ``mesh``.
+    """``spp`` samples/pixel with film lanes sharded across ``mesh``.
 
     Returns radiance ``[N, 3]`` still sharded over devices (lane-major).
     ``width*height`` must divide evenly by the mesh size.
@@ -62,12 +65,17 @@ def render_sample_sharded(
     chunk = n // n_dev
     axis = mesh.axis_names[0]
 
+    from path_tracer_tpu.integrator import bsdf as bsdf_mod
+
+    kinds = tuple(mtypes) if mtypes is not None else bsdf_mod.ALL_MTYPES
+
     def shard_fn(scene_rep, ndc, org):
         dev = jax.lax.axis_index(axis)
         lane = dev * chunk + jnp.arange(chunk, dtype=jnp.uint32)
         rad, _, _, rays = trace_lanes(
             scene_rep, ndc, org, sample_id, lane, width, height,
             max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
+            spp=spp, mtypes=kinds, any_volumes=any_volumes,
         )
         return rad, rays
 

@@ -67,6 +67,10 @@ def sample_environment(image: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarra
     uv mapping from ``integrator.rs:258-259``:
     ``u = atan2(x, z) / (2*pi) + 0.5``, ``v = -asin(y) / pi + 0.5``.
     """
+    if image.shape[0] == 1 and image.shape[1] == 1:
+        # "no env map" constant background: bilinear of a constant is the
+        # constant — skip the per-lane gathers entirely.
+        return jnp.broadcast_to(image[0, 0], direction.shape[:-1] + (3,))
     d = direction
     u = jnp.arctan2(d[..., 0], d[..., 2]) * (0.5 / jnp.pi) + 0.5
     v = jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) * (-1.0 / jnp.pi) + 0.5

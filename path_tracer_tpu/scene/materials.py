@@ -124,6 +124,7 @@ def pack_materials(materials: list[Material]) -> dict[str, np.ndarray]:
     }
     for i, m in enumerate(materials):
         out["mtype"][i] = m.mtype
+        # (row packing for the device table happens in pack_material_rows)
         out["colour"][i] = m.colour
         out["emitted"][i] = m.emitted
         out["ggx_a"][i] = m.ggx_a
@@ -140,4 +141,54 @@ def pack_materials(materials: list[Material]) -> dict[str, np.ndarray]:
                 out["vol_has_scatter"][i] = True
                 out["vol_c"][i] = v.c
                 out["vol_g"][i] = float(np.clip(v.g, -0.999, 0.999))
+    return out
+
+
+# Packed row layout for the device-side material table: one gather fetches
+# every parameter a shading lane needs (see trace/gather.py for why).
+MAT_ROW_W = 20
+_MAT_COLS = {
+    "mtype": (0, 1),
+    "colour": (1, 4),
+    "emitted": (4, 7),
+    "ggx_a": (7, 8),
+    "ior": (8, 9),
+    "is_delta": (9, 10),
+    "is_emissive": (10, 11),
+    "has_volume": (11, 12),
+    "vol_absorption": (12, 15),
+    "vol_has_absorption": (15, 16),
+    "vol_c": (16, 17),
+    "vol_g": (17, 18),
+    "vol_has_scatter": (18, 19),
+}
+_MAT_BOOL = {"is_delta", "is_emissive", "has_volume", "vol_has_absorption", "vol_has_scatter"}
+_MAT_INT = {"mtype"}
+
+
+def pack_material_rows(table: dict) -> np.ndarray:
+    """SoA material dict (from `pack_materials`) -> ``[NM, MAT_ROW_W]`` f32."""
+    n = table["mtype"].shape[0]
+    rows = np.zeros((n, MAT_ROW_W), np.float32)
+    for key, (lo, hi) in _MAT_COLS.items():
+        v = np.asarray(table[key], np.float32)
+        rows[:, lo:hi] = v if v.ndim == 2 else v[:, None]
+    return rows
+
+
+def unpack_material_rows(rows):
+    """Gathered ``[N, MAT_ROW_W]`` rows -> per-lane parameter dict (the
+    interface `integrator.bsdf` consumes)."""
+    import jax.numpy as jnp
+
+    out = {}
+    for key, (lo, hi) in _MAT_COLS.items():
+        v = rows[:, lo:hi]
+        if hi - lo == 1:
+            v = v[:, 0]
+        if key in _MAT_BOOL:
+            v = v > 0.5
+        elif key in _MAT_INT:
+            v = v.astype(jnp.int32)
+        out[key] = v
     return out

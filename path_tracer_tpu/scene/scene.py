@@ -119,6 +119,11 @@ class Scene:
             self.lights_bvh, self.light = None, None
 
         self.mat = mat_table
+        # Static specialization info for the integrator: which material
+        # models exist and whether any medium is attached (compiled out
+        # otherwise).
+        self.active_mtypes = tuple(sorted(set(int(t) for t in mat_table["mtype"])))
+        self.has_volumes = bool(mat_table["has_volume"].any())
 
         if env is None:
             env = np.full((1, 1, 3), DEFAULT_BACKGROUND, np.float32)
@@ -131,6 +136,7 @@ class Scene:
 
         Adds the packed row tables (`trace.traversal.pack_bvh`/`pack_tris`)
         that the traversal kernels gather from — one row fetch per step."""
+        from path_tracer_tpu.scene.materials import pack_material_rows
         from path_tracer_tpu.trace.traversal import pack_bvh, pack_tris
 
         def up(d):
@@ -144,9 +150,59 @@ class Scene:
         }
         data["bvh"]["packed"] = jnp.asarray(pack_bvh(self.bvh))
         data["tri"]["packed"] = jnp.asarray(pack_tris(self.tri))
+        # Single-gather auxiliary tables for the shading stage
+        data["mat"]["rows"] = jnp.asarray(pack_material_rows(self.mat))
+        t = self.num_world_tris
+        data["tri"]["normals_flat"] = jnp.asarray(self.tri["normals"].reshape(t, 9))
+        data["tri"]["model_rows"] = jnp.asarray(
+            self.tri["model"].astype(np.float32).reshape(t, 1)
+        )
         if self.has_lights:
             data["lights_bvh"] = up(self.lights_bvh)
             data["light"] = up(self.light)
             data["lights_bvh"]["packed"] = jnp.asarray(pack_bvh(self.lights_bvh))
             data["light"]["packed"] = jnp.asarray(pack_tris(self.light))
+            lt = self.light["d0"].shape[0]
+            data["light"]["normals_flat"] = jnp.asarray(self.light["normals"].reshape(lt, 9))
+            data["light"]["positions_flat"] = jnp.asarray(self.light["positions"].reshape(lt, 9))
+            # NEE row table: pdf, area, emitted rgb, pad to 8
+            lrows = np.zeros((lt, 8), np.float32)
+            lrows[:, 0] = self.light["pdf"]
+            lrows[:, 1] = self.light["area"]
+            lrows[:, 2:5] = self.light["emitted"]
+            data["light"]["rows"] = jnp.asarray(lrows)
+
+        # Small scenes additionally get the gather-free DFS sweep stream —
+        # the fast path on TPU (see trace/sweep.py). Large scenes stay on the
+        # stack+gather traversal.
+        from path_tracer_tpu.trace.sweep import (
+            SWEEP_MAX_ROWS,
+            UNROLL_MAX_ROWS,
+            StaticStream,
+            build_stream,
+        )
+
+        import jax
+
+        # The fully-unrolled traversal compiles fast on the TPU toolchain but
+        # pathologically slowly in CPU XLA; CPU (tests) uses the loop sweep.
+        unroll_ok = jax.default_backend() != "cpu"
+
+        def attach_stream(target, flat, tri_rows, n_tris):
+            est_rows = 2 * flat["c0_idx"].shape[0] + n_tris
+            if est_rows > SWEEP_MAX_ROWS:
+                return
+            rows = build_stream(flat, tri_rows)
+            if unroll_ok and rows.shape[0] <= UNROLL_MAX_ROWS:
+                # fully unrolled compile-time traversal (fastest)
+                target["stream_static"] = StaticStream(rows)
+            else:
+                target["stream"] = jnp.asarray(rows)
+
+        attach_stream(data["bvh"], self.bvh, np.asarray(data["tri"]["packed"]), self.num_world_tris)
+        if self.has_lights:
+            attach_stream(
+                data["lights_bvh"], self.lights_bvh,
+                np.asarray(data["light"]["packed"]), self.light["d0"].shape[0],
+            )
         return data

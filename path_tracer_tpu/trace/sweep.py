@@ -1,0 +1,337 @@
+"""Gather-free BVH traversal: DFS stream sweep with skip links.
+
+Motivation (measured on v5e): XLA's per-lane random gather sustains only
+~300M rows/s inside a dependent loop — a hard ceiling of a few Mrays/s for
+stack-based traversal. The VPU, however, streams elementwise work at TFLOP/s.
+For scenes whose BVH fits a modest instruction stream, the fastest TPU
+traversal does *no random access at all*:
+
+The BVH is serialized host-side into a DFS-preorder stream of rows (interior
+node / leaf node / triangle). Every lane walks the stream front to back; a
+lane that misses a node's AABB sets its ``skip_until`` register to the node's
+skip link (the DFS position just past its subtree), masking it off for the
+whole subtree. Node data is indexed by the *loop counter* — a scalar
+broadcast, not a gather. Triangle rows run the Havel-Herout test with the ray
+pre-translated to the enclosing leaf's AABB entry distance, exactly like the
+stack traversal (primitive.rs:147-155 semantics).
+
+Row layout ([ROW_W] f32):
+  col 0      type: 0 = node, 1 = triangle
+  col 1..6   node bb_min / bb_max (triangle rows: +inf/-inf box, never hits)
+  col 7      skip_to (int32 bitcast; triangle rows: i+1, a no-op)
+  col 8..19  triangle n0,d0,n1,d1,n2,d2 (node rows: zeros -> det==0, no hit)
+  col 20     triangle id (int32 bitcast)
+  col 21..23 pad
+
+Complexity is O(stream length) per ray — unbeatable for small scenes (the
+Cornell-class benchmarks), hopeless for million-triangle meshes, where the
+stack+gather traversal (`trace.traversal`) takes over. `scene.Scene.device`
+builds the stream only when the scene is under `SWEEP_MAX_ROWS`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from path_tracer_tpu.core.constants import EPSILON, INFINITY
+
+ROW_W = 24
+SWEEP_MAX_ROWS = 8192
+# Streams up to this many rows are fully unrolled at trace time with the row
+# data baked in as compile-time constants: no loop, no dynamic slices, and
+# each row emits only its own kind of math (node slab test OR triangle test).
+UNROLL_MAX_ROWS = 1024
+UNROLL = 8
+
+
+@jax.tree_util.register_static
+class StaticStream:
+    """Hashable compile-time wrapper for a DFS stream.
+
+    Registered as a static pytree node so it can ride inside the scene dict
+    through ``jit``/``shard_map`` without becoming a traced array; traversal
+    specializes on its contents (equal streams share compiled programs).
+    """
+
+    def __init__(self, rows: np.ndarray):
+        self.rows = np.ascontiguousarray(rows, np.float32)
+        self._key = (self.rows.shape, self.rows.tobytes())
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, StaticStream) and self._key == other._key
+
+
+def build_stream(flat: dict, tri_packed: np.ndarray) -> np.ndarray:
+    """Serialize a flattened dual-child BVH (`scene.bvh.flatten` format) +
+    packed triangles into the DFS row stream. Host-side, O(rows)."""
+    tri_packed = np.asarray(tri_packed, np.float32)
+    rows: list[np.ndarray] = []
+
+    def node_row(bb_min, bb_max):
+        r = np.zeros(ROW_W, np.float32)
+        r[1:4] = bb_min
+        r[4:7] = bb_max
+        return r
+
+    def tri_row(tid: int, position: int):
+        r = np.zeros(ROW_W, np.float32)
+        r[0] = 1.0
+        r[1:4] = np.inf
+        r[4:7] = -np.inf
+        r[7] = np.int32(position + 1).view(np.float32)  # no-op skip
+        r[8:20] = tri_packed[tid, :12]
+        r[20] = np.int32(tid).view(np.float32)
+        return r
+
+    def emit_record(rec: int):
+        for c in ("c0", "c1"):
+            count = int(flat[f"{c}_count"][rec])
+            if count == -1:
+                continue
+            idx = int(flat[f"{c}_idx"][rec])
+            pos = len(rows)
+            rows.append(node_row(flat[f"{c}_min"][rec], flat[f"{c}_max"][rec]))
+            if count == 0:
+                emit_record(idx)
+            else:
+                for k in range(count):
+                    rows.append(tri_row(idx + k, len(rows)))
+            rows[pos][7] = np.int32(len(rows)).view(np.float32)
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 100000))
+    try:
+        emit_record(0)
+    finally:
+        sys.setrecursionlimit(old)
+    return np.stack(rows)
+
+
+def _row_step(row, state, origin, direction, inv_d, i, any_mode):
+    """Process stream row ``i`` (a [ROW_W] vector broadcast to all lanes)."""
+    skip_until, t_max, best, best_u, best_v, leaf_t, found = state
+
+    active = i >= skip_until
+
+    # --- node part: slab test (boundingbox.rs:115-131) ---
+    bb_min = row[1:4]
+    bb_max = row[4:7]
+    t0 = (bb_min - origin) * inv_d
+    t1 = (bb_max - origin) * inv_d
+    eps = jnp.float32(EPSILON)
+    lim = t_max[:, None]
+    t_small = jnp.minimum(jnp.maximum(t0, eps), jnp.maximum(t1, eps))
+    t_big = jnp.maximum(jnp.minimum(t0, lim), jnp.minimum(t1, lim))
+    t_enter = jnp.max(t_small, axis=-1)
+    box_hit = t_enter <= jnp.min(t_big, axis=-1)
+
+    skip_to = jax.lax.bitcast_convert_type(row[7], jnp.int32)
+    skip_until = jnp.where(active & ~box_hit, skip_to, skip_until)
+    is_node = row[0] == 0.0
+    leaf_t = jnp.where(active & box_hit & is_node, t_enter, leaf_t)
+
+    # --- triangle part: pre-translated Havel-Herout (primitive.rs:147-178) ---
+    n0 = row[8:11]
+    d0 = row[11]
+    n1 = row[12:15]
+    d1 = row[15]
+    n2 = row[16:19]
+    d2 = row[19]
+    t_est = leaf_t
+    o = origin + direction * t_est[:, None]
+    tmin_l = eps - t_est
+    tmax_l = t_max - t_est
+
+    det = direction @ n0
+    td = d0 - o @ n0
+    same = lambda a, b: (a >= 0.0) == (b >= 0.0)
+    c1 = same(td - det * tmin_l, det * tmax_l - td)
+    p = det[:, None] * o + td[:, None] * direction
+    ud = p @ n1 + det * d1
+    c2 = same(ud, det - ud)
+    vd = p @ n2 + det * d2
+    c3 = same(vd, det - ud - vd)
+    tri_hit = active & c1 & c2 & c3 & (det != 0.0)
+
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    t_world = td * inv_det + t_est
+    tid = jax.lax.bitcast_convert_type(row[20], jnp.int32)
+
+    if any_mode:
+        found = found | tri_hit
+    else:
+        t_max = jnp.where(tri_hit, t_world, t_max)
+        best = jnp.where(tri_hit, tid, best)
+        best_u = jnp.where(tri_hit, ud * inv_det, best_u)
+        best_v = jnp.where(tri_hit, vd * inv_det, best_v)
+
+    return (skip_until, t_max, best, best_u, best_v, leaf_t, found)
+
+
+def _sweep(stream, origin, direction, t_limit, any_mode: bool):
+    n = origin.shape[0]
+    s_rows = stream.shape[0]
+    inv_d = 1.0 / direction
+
+    state = (
+        jnp.zeros(n, jnp.int32),  # skip_until
+        t_limit,  # t_max
+        jnp.full(n, -1, jnp.int32),  # best
+        jnp.zeros(n, jnp.float32),  # best_u
+        jnp.zeros(n, jnp.float32),  # best_v
+        jnp.zeros(n, jnp.float32),  # leaf_t
+        jnp.zeros(n, jnp.bool_),  # found (any mode)
+    )
+
+    steps = -(-s_rows // UNROLL)
+
+    if any_mode:
+        # while_loop so fully-found waves exit early
+        def cond(c):
+            i, state = c
+            return (i < steps) & ~jnp.all(state[6] | (t_limit <= 0.0))
+
+        def body(c):
+            i, state = c
+            base = i * UNROLL
+            for k in range(UNROLL):
+                idx = jnp.minimum(base + k, s_rows - 1)
+                row = jax.lax.dynamic_slice(stream, (idx, 0), (1, ROW_W))[0]
+                state = _row_step(row, state, origin, direction, inv_d, base + k, True)
+            return (i + 1, state)
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    else:
+        def body(i, state):
+            base = i * UNROLL
+            for k in range(UNROLL):
+                idx = jnp.minimum(base + k, s_rows - 1)
+                row = jax.lax.dynamic_slice(stream, (idx, 0), (1, ROW_W))[0]
+                state = _row_step(row, state, origin, direction, inv_d, base + k, False)
+            return state
+
+        state = jax.lax.fori_loop(0, steps, body, state)
+
+    return state
+
+
+@jax.jit
+def sweep_closest_hit(stream, origin, direction, t_limit):
+    """Closest hit over the DFS stream. Same contract as
+    `traversal.closest_hit`: returns (tri_idx, t, u, v)."""
+    sk, t_max, best, bu, bv, _, _ = _sweep(stream, origin, direction, t_limit, False)
+    return best, t_max, bu, bv
+
+
+@jax.jit
+def sweep_any_hit(stream, origin, direction, t_limit):
+    """Any hit with t in (EPSILON, t_limit), like `traversal.any_hit`."""
+    out = _sweep(stream, origin, direction, t_limit, True)
+    return out[6]
+
+
+# --------------------- statically unrolled variant ---------------------
+
+def _node_step_static(bb_min, bb_max, skip_to, is_leaf, state, origin, inv_d, i):
+    """Node row with compile-time box/skip data: slab test only."""
+    skip_until, t_max, best, best_u, best_v, leaf_t, found = state
+    active = i >= skip_until
+    eps = jnp.float32(EPSILON)
+    lim = t_max[:, None]
+    t0 = (bb_min - origin) * inv_d
+    t1 = (bb_max - origin) * inv_d
+    t_small = jnp.minimum(jnp.maximum(t0, eps), jnp.maximum(t1, eps))
+    t_big = jnp.maximum(jnp.minimum(t0, lim), jnp.minimum(t1, lim))
+    t_enter = jnp.max(t_small, axis=-1)
+    box_hit = t_enter <= jnp.min(t_big, axis=-1)
+    skip_until = jnp.where(active & ~box_hit, jnp.int32(skip_to), skip_until)
+    if is_leaf:
+        leaf_t = jnp.where(active & box_hit, t_enter, leaf_t)
+    return (skip_until, t_max, best, best_u, best_v, leaf_t, found)
+
+
+def _tri_step_static(tri_consts, tid, state, origin, direction, i, any_mode):
+    """Triangle row with compile-time plane data (Havel-Herout)."""
+    skip_until, t_max, best, best_u, best_v, leaf_t, found = state
+    n0, d0, n1, d1, n2, d2 = tri_consts
+    active = i >= skip_until
+    eps = jnp.float32(EPSILON)
+
+    t_est = leaf_t
+    o = origin + direction * t_est[:, None]
+    tmin_l = eps - t_est
+    tmax_l = t_max - t_est
+
+    det = direction @ n0
+    td = d0 - o @ n0
+    same = lambda a, b: (a >= 0.0) == (b >= 0.0)
+    c1 = same(td - det * tmin_l, det * tmax_l - td)
+    p = det[:, None] * o + td[:, None] * direction
+    ud = p @ n1 + det * d1
+    c2 = same(ud, det - ud)
+    vd = p @ n2 + det * d2
+    c3 = same(vd, det - ud - vd)
+    tri_hit = active & c1 & c2 & c3 & (det != 0.0)
+
+    if any_mode:
+        found = found | tri_hit
+    else:
+        inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        t_world = td * inv_det + t_est
+        t_max = jnp.where(tri_hit, t_world, t_max)
+        best = jnp.where(tri_hit, jnp.int32(tid), best)
+        best_u = jnp.where(tri_hit, ud * inv_det, best_u)
+        best_v = jnp.where(tri_hit, vd * inv_det, best_v)
+    return (skip_until, t_max, best, best_u, best_v, leaf_t, found)
+
+
+def _sweep_static(stream: StaticStream, origin, direction, t_limit, any_mode: bool):
+    """Straight-line traversal with the stream baked in as constants."""
+    rows = stream.rows
+    n = origin.shape[0]
+    inv_d = 1.0 / direction
+    state = (
+        jnp.zeros(n, jnp.int32),
+        t_limit,
+        jnp.full(n, -1, jnp.int32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.bool_),
+    )
+    s_rows = rows.shape[0]
+    skips = rows[:, 7].view(np.int32)
+    types = rows[:, 0]
+    for i in range(s_rows):
+        if types[i] == 0.0:
+            # leaf iff the next row is a triangle row
+            is_leaf = i + 1 < s_rows and types[i + 1] == 1.0
+            state = _node_step_static(
+                jnp.asarray(rows[i, 1:4]), jnp.asarray(rows[i, 4:7]),
+                int(skips[i]), is_leaf, state, origin, inv_d, i,
+            )
+        else:
+            tri_consts = (
+                jnp.asarray(rows[i, 8:11]), float(rows[i, 11]),
+                jnp.asarray(rows[i, 12:15]), float(rows[i, 15]),
+                jnp.asarray(rows[i, 16:19]), float(rows[i, 19]),
+            )
+            tid = int(rows[i, 20:21].view(np.int32)[0])
+            state = _tri_step_static(tri_consts, tid, state, origin, direction, i, any_mode)
+    return state
+
+
+def sweep_closest_hit_static(stream: StaticStream, origin, direction, t_limit):
+    _, t_max, best, bu, bv, _, _ = _sweep_static(stream, origin, direction, t_limit, False)
+    return best, t_max, bu, bv
+
+
+def sweep_any_hit_static(stream: StaticStream, origin, direction, t_limit):
+    return _sweep_static(stream, origin, direction, t_limit, True)[6]

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from path_tracer_tpu.core.constants import EPSILON, INFINITY
+from path_tracer_tpu.trace.gather import gather_rows
 
 # Must match the builder's leaf cap (scene/bvh.py uses leaves of any size from
 # SAH collapse; the scene assembler passes max_leaf=MAX_LEAF).
@@ -69,7 +70,7 @@ def _tri_intersect(tri_packed, idx, o, d, t_min, t_max):
     (primitive.rs:147-155); ``t_min``/``t_max`` are in the translated frame.
     Returns (hit, t, u, v) with t in the translated frame.
     """
-    rows = jnp.take(tri_packed, idx, axis=0)  # [N, 16]
+    rows = gather_rows(tri_packed, idx)  # [N, 16]
     n0 = rows[:, 0:3]
     d0 = rows[:, 3]
     n1 = rows[:, 4:7]
@@ -133,7 +134,7 @@ def pack_tris(tri: dict) -> jnp.ndarray:
 
 def _child_codes_packed(packed: jnp.ndarray, ni):
     """Single-gather fetch of both children of internal nodes ``ni``."""
-    rows = jnp.take(packed, ni, axis=0)  # [N, 16]
+    rows = gather_rows(packed, ni)  # [N, 16]
     ints = jax.lax.bitcast_convert_type(rows[:, 12:16], jnp.int32)
     out = []
     for c in range(2):
@@ -147,11 +148,15 @@ def _child_codes_packed(packed: jnp.ndarray, ni):
 
 
 def _stack_read(stack, sp):
-    return jnp.take_along_axis(stack, sp[:, None], axis=1)[:, 0]
+    """Per-lane stack top via iota-compare select (TPU scatter/gather-free)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
+    sel = iota == sp[:, None]
+    return jnp.sum(jnp.where(sel, stack, jnp.zeros((), stack.dtype)), axis=1)
 
 
 def _stack_write(stack, sp, value):
-    return jax.vmap(lambda row, i, v: row.at[i].set(v))(stack, sp, value)
+    iota = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
+    return jnp.where(iota == sp[:, None], value[:, None], stack)
 
 
 @jax.jit
@@ -265,6 +270,14 @@ def closest_hit(bvh, tri, origin, direction, t_limit=None):
     n = origin.shape[0]
     if t_limit is None:
         t_limit = jnp.full(n, INFINITY, jnp.float32)
+    if "stream_static" in bvh:
+        from path_tracer_tpu.trace.sweep import sweep_closest_hit_static
+
+        return sweep_closest_hit_static(bvh["stream_static"], origin, direction, t_limit)
+    if "stream" in bvh:
+        from path_tracer_tpu.trace.sweep import sweep_closest_hit
+
+        return sweep_closest_hit(bvh["stream"], origin, direction, t_limit)
     return _closest_hit_impl(bvh["packed"], tri["packed"], origin, direction, t_limit)
 
 
@@ -343,6 +356,14 @@ def any_hit(bvh, tri, origin, direction, t_limit):
     The shadow-ray test (``TLAS::any_intersect``, tlas.rs:111-144); callers
     pass ``(1 - EPSILON) * distance`` as the limit like ``integrator.rs:56``.
     """
+    if "stream_static" in bvh:
+        from path_tracer_tpu.trace.sweep import sweep_any_hit_static
+
+        return sweep_any_hit_static(bvh["stream_static"], origin, direction, t_limit)
+    if "stream" in bvh:
+        from path_tracer_tpu.trace.sweep import sweep_any_hit
+
+        return sweep_any_hit(bvh["stream"], origin, direction, t_limit)
     return _any_hit_impl(bvh["packed"], tri["packed"], origin, direction, t_limit)
 
 

@@ -23,8 +23,12 @@ N = 40000
 
 
 def _lane_mats(mat_table, n=N):
+    from path_tracer_tpu.scene.materials import pack_material_rows
+
     idx = jnp.zeros(n, jnp.int32)
-    return bsdf_mod.gather_mat({k: jnp.asarray(v) for k, v in mat_table.items()}, idx)
+    table = {k: jnp.asarray(v) for k, v in mat_table.items()}
+    table["rows"] = jnp.asarray(pack_material_rows(mat_table))
+    return bsdf_mod.gather_mat(table, idx)
 
 
 def _setup(n=N, seed=0):
