@@ -22,7 +22,7 @@ def main():
     import jax.numpy as jnp
 
     from path_tracer_tpu import scenes
-    from path_tracer_tpu.integrator.wavefront import render_sample
+    from path_tracer_tpu.integrator.wavefront import render_film
 
     width = height = 1024
     scene_host, cam = scenes.cornell_diffuse()
@@ -32,13 +32,13 @@ def main():
     spp_batch = 8
 
     def step(sample_id):
-        rad, _, _, rays = render_sample(
-            scene, ndc, origin, sample_id, width, height,
+        rad, rays = render_film(
+            scene, ndc, origin, sample_id, width, height, spp_batch,
             max_bounces=64, enable_nee=True, has_lights=True,
-            spp=spp_batch, mtypes=scene_host.active_mtypes,
+            mtypes=scene_host.active_mtypes,
             any_volumes=scene_host.has_volumes,
         )
-        return rad, jnp.sum(rays)
+        return rad, rays
 
     # warmup/compile
     rad, nrays = step(np.uint32(0))

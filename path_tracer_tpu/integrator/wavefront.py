@@ -490,6 +490,58 @@ def render_sample(
     )
 
 
+# Film lanes traced per device dispatch. v5e measurement: 64K-lane waves run
+# ~1.6x faster per ray than full-1M-lane waves (better VMEM residency of the
+# while-loop carry), and tiles dispatch asynchronously so there is no sync
+# cost between them.
+TILE_LANES = 65536
+
+
+def render_film(
+    scene: dict,
+    ndc_to_world,
+    cam_origin,
+    base_sample: int,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounces: int = MAX_BOUNCES,
+    enable_nee: bool = True,
+    has_lights: bool = True,
+    mtypes: tuple = bsdf_mod.ALL_MTYPES,
+    any_volumes: bool = True,
+    tile_lanes: int = TILE_LANES,
+):
+    """Trace ``spp`` samples/pixel over the film in lane tiles.
+
+    Tiles are dispatched back-to-back without host synchronization (one
+    compiled program reused with different lane offsets). Returns
+    ``(radiance_sum [N,3], rays_total [scalar jnp])``.
+    """
+    n = width * height
+    tile = min(tile_lanes, n)
+    while n % tile:
+        tile //= 2
+    jit_trace = jax.jit(
+        trace_lanes,
+        static_argnames=("width", "height", "max_bounces", "enable_nee",
+                         "has_lights", "spp", "mtypes", "any_volumes"),
+    )
+    rads = []
+    rays_total = jnp.zeros((), jnp.float32)
+    for off in range(0, n, tile):
+        lane = jnp.uint32(off) + jnp.arange(tile, dtype=jnp.uint32)
+        rad, _, _, rays = jit_trace(
+            scene, ndc_to_world, cam_origin, base_sample, lane, width, height,
+            max_bounces=max_bounces, enable_nee=enable_nee,
+            has_lights=has_lights, spp=spp, mtypes=mtypes,
+            any_volumes=any_volumes,
+        )
+        rads.append(rad)
+        rays_total = rays_total + jnp.sum(rays)
+    return jnp.concatenate(rads, axis=0), rays_total
+
+
 def render(
     scene_host,
     camera,
@@ -521,10 +573,10 @@ def render(
     s = start_sample
     while s < start_sample + spp:
         cur = min(batch, start_sample + spp - s)
-        rad, _, _, _ = render_sample(
-            scene, ndc_to_world, origin, s, width, height,
+        rad, _ = render_film(
+            scene, ndc_to_world, origin, s, width, height, cur,
             max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
-            spp=cur, mtypes=mtypes, any_volumes=any_volumes,
+            mtypes=mtypes, any_volumes=any_volumes,
         )
         frame = jnp.concatenate([rad, jnp.full((rad.shape[0], 1), cur, jnp.float32)], axis=1)
         film = film + frame.reshape(height, width, 4)

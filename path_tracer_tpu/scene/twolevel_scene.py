@@ -1,0 +1,102 @@
+"""Two-level geometry assembly: shared BLASes + instance table + TLAS.
+
+Host-side counterpart of `trace.twolevel`. Each model's BLAS is built once in
+OBJECT space (the reference's ``BLAS::new``, blas.rs:174-201); instances are
+(rotation, translation) rows; the TLAS clusters world-space instance AABBs
+(``TLASNode::generate_tlas``, tlas_bvh.rs:85-138).
+
+Divergence from the reference, on purpose: the reference transforms an AABB by
+mapping only its min/max corners (``boundingbox.rs:51-57``), which is wrong
+for rotations that aren't axis-aligned; here all 8 corners are mapped, giving
+a conservative (correct) world box. Images can only improve.
+
+The default rendering path remains the baked world BVH (`scene.Scene`); this
+mode exists for massive-instancing memory scaling and is exercised by the
+traversal parity tests. Integrator wiring (object-space shading-normal
+transforms in the wavefront loop) is the follow-up step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from path_tracer_tpu.scene import bvh as bvh_mod
+from path_tracer_tpu.scene import tlas as tlas_mod
+from path_tracer_tpu.scene import triangle as tri_mod
+from path_tracer_tpu.scene.model import Model
+from path_tracer_tpu.trace.traversal import pack_bvh, pack_tris
+from path_tracer_tpu.trace.twolevel import pack_instances
+
+
+def _transform_aabb_corners(bb_min, bb_max, matrix):
+    rot, tr = matrix[:, :3], matrix[:, 3]
+    xs = [bb_min[0], bb_max[0]]
+    ys = [bb_min[1], bb_max[1]]
+    zs = [bb_min[2], bb_max[2]]
+    pts = np.array([[x, y, z] for x in xs for y in ys for z in zs], np.float32)
+    world = pts @ rot.T + tr
+    return world.min(axis=0), world.max(axis=0)
+
+
+class TwoLevelGeometry:
+    def __init__(self, models: list[Model]):
+        blas_nodes = []
+        tri_rows = []
+        inst_matrices = []
+        inst_roots = []
+        inst_models = []
+        inst_bmin = []
+        inst_bmax = []
+
+        node_offset = 0
+        tri_offset = 0
+        for model_id, model in enumerate(models):
+            pre = tri_mod.precompute(model.positions)
+            bmin, bmax = tri_mod.aabbs(model.positions)
+            flat, perm, _ = bvh_mod.build_bvh(bmin, bmax)
+            pre = {k: v[perm] for k, v in pre.items()}
+
+            # apply global offsets: internal child -> node index, leaf ->
+            # first-primitive index
+            flat = {k: np.array(v) for k, v in flat.items()}
+            for c in ("c0", "c1"):
+                internal = flat[f"{c}_count"] == 0
+                leaf = flat[f"{c}_count"] > 0
+                flat[f"{c}_idx"] = np.where(
+                    internal, flat[f"{c}_idx"] + node_offset,
+                    np.where(leaf, flat[f"{c}_idx"] + tri_offset, flat[f"{c}_idx"]),
+                ).astype(np.int32)
+            blas_nodes.append(pack_bvh(flat))
+            tri_rows.append(pack_tris(pre))
+
+            root_min = flat["root_min"]
+            root_max = flat["root_max"]
+            for matrix in model.matrices:
+                m = np.asarray(matrix, np.float32)
+                wmin, wmax = _transform_aabb_corners(root_min, root_max, m)
+                inst_matrices.append(m)
+                inst_roots.append(node_offset)
+                inst_models.append(model_id)
+                inst_bmin.append(wmin)
+                inst_bmax.append(wmax)
+
+            node_offset += flat["c0_idx"].shape[0]
+            tri_offset += pre["d0"].shape[0]
+
+        self.blas_packed = np.concatenate(blas_nodes)
+        self.tri_packed = np.concatenate(tri_rows)
+        self.inst_rows = pack_instances(
+            np.stack(inst_matrices), np.asarray(inst_roots), np.asarray(inst_models)
+        )
+        tlas_flat = tlas_mod.build_tlas(np.stack(inst_bmin), np.stack(inst_bmax))
+        self.tlas_packed = pack_bvh(tlas_flat)
+        self.num_instances = len(inst_matrices)
+
+    def device(self) -> dict:
+        return {
+            "tlas_packed": jnp.asarray(self.tlas_packed),
+            "blas_packed": jnp.asarray(self.blas_packed),
+            "inst_rows": jnp.asarray(self.inst_rows),
+            "tri_packed": jnp.asarray(self.tri_packed),
+        }

@@ -18,9 +18,9 @@ stack traversal (primitive.rs:147-155 semantics).
 Row layout ([ROW_W] f32):
   col 0      type: 0 = node, 1 = triangle
   col 1..6   node bb_min / bb_max (triangle rows: +inf/-inf box, never hits)
-  col 7      skip_to (int32 bitcast; triangle rows: i+1, a no-op)
+  col 7      skip_to (exact float value; triangle rows: i+1, a no-op)
   col 8..19  triangle n0,d0,n1,d1,n2,d2 (node rows: zeros -> det==0, no hit)
-  col 20     triangle id (int32 bitcast)
+  col 20     triangle id (exact float value)
   col 21..23 pad
 
 Complexity is O(stream length) per ray — unbeatable for small scenes (the
@@ -83,9 +83,9 @@ def build_stream(flat: dict, tri_packed: np.ndarray) -> np.ndarray:
         r[0] = 1.0
         r[1:4] = np.inf
         r[4:7] = -np.inf
-        r[7] = np.int32(position + 1).view(np.float32)  # no-op skip
+        r[7] = np.float32(position + 1)  # no-op skip
         r[8:20] = tri_packed[tid, :12]
-        r[20] = np.int32(tid).view(np.float32)
+        r[20] = np.float32(tid)
         return r
 
     def emit_record(rec: int):
@@ -101,7 +101,7 @@ def build_stream(flat: dict, tri_packed: np.ndarray) -> np.ndarray:
             else:
                 for k in range(count):
                     rows.append(tri_row(idx + k, len(rows)))
-            rows[pos][7] = np.int32(len(rows)).view(np.float32)
+            rows[pos][7] = np.float32(len(rows))
 
     import sys
 
@@ -132,7 +132,7 @@ def _row_step(row, state, origin, direction, inv_d, i, any_mode):
     t_enter = jnp.max(t_small, axis=-1)
     box_hit = t_enter <= jnp.min(t_big, axis=-1)
 
-    skip_to = jax.lax.bitcast_convert_type(row[7], jnp.int32)
+    skip_to = row[7].astype(jnp.int32)
     skip_until = jnp.where(active & ~box_hit, skip_to, skip_until)
     is_node = row[0] == 0.0
     leaf_t = jnp.where(active & box_hit & is_node, t_enter, leaf_t)
@@ -162,7 +162,7 @@ def _row_step(row, state, origin, direction, inv_d, i, any_mode):
 
     inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
     t_world = td * inv_det + t_est
-    tid = jax.lax.bitcast_convert_type(row[20], jnp.int32)
+    tid = row[20].astype(jnp.int32)
 
     if any_mode:
         found = found | tri_hit
@@ -307,7 +307,7 @@ def _sweep_static(stream: StaticStream, origin, direction, t_limit, any_mode: bo
         jnp.zeros(n, jnp.bool_),
     )
     s_rows = rows.shape[0]
-    skips = rows[:, 7].view(np.int32)
+    skips = rows[:, 7].astype(np.int64)
     types = rows[:, 0]
     for i in range(s_rows):
         if types[i] == 0.0:
@@ -323,7 +323,7 @@ def _sweep_static(stream: StaticStream, origin, direction, t_limit, any_mode: bo
                 jnp.asarray(rows[i, 12:15]), float(rows[i, 15]),
                 jnp.asarray(rows[i, 16:19]), float(rows[i, 19]),
             )
-            tid = int(rows[i, 20:21].view(np.int32)[0])
+            tid = int(rows[i, 20])
             state = _tri_step_static(tri_consts, tid, state, origin, direction, i, any_mode)
     return state
 

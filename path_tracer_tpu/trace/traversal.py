@@ -104,10 +104,19 @@ def pack_bvh(flat: dict) -> jnp.ndarray:
 
     HBM-bandwidth optimization: one gather per traversal step instead of
     eight. Row layout: c0_min(3) c0_max(3) c1_min(3) c1_max(3)
-    c0_idx c0_count c1_idx c1_count (int32 bit-cast into f32 lanes).
+    c0_idx c0_count c1_idx c1_count.
+
+    Integer fields are stored as exact float VALUES (not bit patterns):
+    the one-hot matmul gather (trace/gather.py) multiplies rows by 0/1, and
+    int32 bit patterns reinterpreted as floats are denormals/NaNs that get
+    flushed or poisoned by the MXU. Values < 2^24 are exact in f32.
     """
     f = lambda k: np.asarray(flat[k], np.float32)
-    i = lambda k: np.asarray(flat[k], np.int32).view(np.float32)[:, None]
+
+    def i(k):
+        v = np.asarray(flat[k], np.int64)
+        assert np.abs(v).max(initial=0) < (1 << 24), "index exceeds f32 exact range"
+        return v.astype(np.float32)[:, None]
     rows = np.concatenate(
         [f("c0_min"), f("c0_max"), f("c1_min"), f("c1_max"),
          i("c0_idx"), i("c0_count"), i("c1_idx"), i("c1_count")],
@@ -135,7 +144,7 @@ def pack_tris(tri: dict) -> jnp.ndarray:
 def _child_codes_packed(packed: jnp.ndarray, ni):
     """Single-gather fetch of both children of internal nodes ``ni``."""
     rows = gather_rows(packed, ni)  # [N, 16]
-    ints = jax.lax.bitcast_convert_type(rows[:, 12:16], jnp.int32)
+    ints = rows[:, 12:16].astype(jnp.int32)  # stored as exact float values
     out = []
     for c in range(2):
         cmin = rows[:, 6 * c : 6 * c + 3]

@@ -38,7 +38,7 @@ def test_stream_structure():
     # every triangle appears exactly once
     assert int(types.sum()) == pos.shape[0]
     # skip links are monotone and in range
-    skips = stream[:, 7].view(np.int32)
+    skips = stream[:, 7].astype(np.int64)
     assert (skips > np.arange(len(stream))).all()
     assert (skips <= len(stream)).all()
 

@@ -1,0 +1,75 @@
+"""Two-level TLAS/BLAS traversal vs the baked world BVH."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from path_tracer_tpu.scene import procedural
+from path_tracer_tpu.scene.materials import Lambertian
+from path_tracer_tpu.scene.model import Model, rigid_transform, rotation_y
+from path_tracer_tpu.scene.scene import Scene
+from path_tracer_tpu.scene.twolevel_scene import TwoLevelGeometry
+from path_tracer_tpu.trace import traversal
+from path_tracer_tpu.trace.twolevel import any_hit_twolevel, closest_hit_twolevel
+
+
+def _models():
+    sphere_p, sphere_n = procedural.icosphere((0.0, 0.0, 0.0), 3.0, 1)
+    box_p, box_n = procedural.box((0.0, 0.0, 0.0), (2.0, 1.0, 1.5))
+    mats = [
+        rigid_transform(None, (-6.0, 0.0, 0.0)),
+        rigid_transform(rotation_y(0.7), (6.0, 1.0, -2.0)),
+        rigid_transform(rotation_y(2.1), (0.0, -2.0, 5.0)),
+    ]
+    return [
+        Model(Lambertian((0.5, 0.5, 0.5)), matrices=mats, positions=sphere_p, normals=sphere_n),
+        Model(Lambertian((0.7, 0.2, 0.2)), matrices=[rigid_transform(rotation_y(0.3), (0.0, 4.0, 0.0))],
+              positions=box_p, normals=box_n),
+    ]
+
+
+def _rays(n=400, seed=0):
+    rs = np.random.default_rng(seed)
+    o = rs.uniform(-15, 15, (n, 3)).astype(np.float32)
+    d = -o + rs.normal(scale=5.0, size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d, jnp.float32)
+
+
+def test_twolevel_matches_baked_world():
+    models = _models()
+    baked = Scene(models).device()
+    two = TwoLevelGeometry(models).device()
+
+    o, d = _rays()
+    n = o.shape[0]
+    lim = jnp.full(n, np.inf, jnp.float32)
+
+    bi, bt, bu, bv = traversal.closest_hit(baked["bvh"], baked["tri"], o, d, lim)
+    ti, tt, tu, tv, inst = closest_hit_twolevel(
+        two["tlas_packed"], two["blas_packed"], two["inst_rows"], two["tri_packed"], o, d, lim
+    )
+    bi, bt, ti, tt = map(np.asarray, (bi, bt, ti, tt))
+    hit_b = bi >= 0
+    hit_t = ti >= 0
+    np.testing.assert_array_equal(hit_t, hit_b)
+    assert hit_b.sum() > 50
+    # t values agree (frames are rigid; tolerance for transform rounding)
+    np.testing.assert_allclose(tt[hit_b], bt[hit_b], rtol=1e-4, atol=1e-4)
+    # hit instance recorded for every hit
+    assert (np.asarray(inst)[hit_t] >= 0).all()
+
+
+def test_twolevel_any_hit():
+    models = _models()
+    two = TwoLevelGeometry(models).device()
+    o, d = _rays(seed=3)
+    n = o.shape[0]
+    ti, tt, _, _, _ = closest_hit_twolevel(
+        two["tlas_packed"], two["blas_packed"], two["inst_rows"], two["tri_packed"],
+        o, d, jnp.full(n, np.inf, jnp.float32),
+    )
+    found = any_hit_twolevel(
+        two["tlas_packed"], two["blas_packed"], two["inst_rows"], two["tri_packed"],
+        o, d, jnp.full(n, 1e9, jnp.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(found), np.asarray(ti) >= 0)
