@@ -29,7 +29,7 @@ def main():
     scene = scene_host.device()
     ndc = jnp.asarray(cam.view_proj_inverse())
     origin = jnp.asarray(cam.origin)
-    spp_batch = 8
+    spp_batch = 64
 
     def step(sample_id):
         rad, rays = render_film(
@@ -44,7 +44,7 @@ def main():
     rad, nrays = step(np.uint32(0))
     rad.block_until_ready()
 
-    batches = 2
+    batches = 1
     t0 = time.perf_counter()
     total_rays = 0.0
     acc = None

@@ -490,11 +490,12 @@ def render_sample(
     )
 
 
-# Film lanes traced per device dispatch. v5e measurement: 64K-lane waves run
-# ~1.6x faster per ray than full-1M-lane waves (better VMEM residency of the
-# while-loop carry), and tiles dispatch asynchronously so there is no sync
-# cost between them.
-TILE_LANES = 65536
+# Film lanes traced per device dispatch. v5e measurement: 16K-lane waves run
+# ~1.6x faster per ray than full-1M-lane waves — the while-loop carry
+# (~100 B/lane) stays VMEM-resident — and tiles dispatch asynchronously so
+# there is no sync cost between them. (Cornell 1024x1024 sweep: 16K -> 108,
+# 32K -> 100, 64K -> 91, 1M -> 38 Mrays/s at spp 32-64.)
+TILE_LANES = 16384
 
 
 def render_film(
