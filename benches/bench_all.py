@@ -1,0 +1,60 @@
+"""Throughput across all BASELINE configs. One JSON line per config.
+
+Usage: ``python benches/bench_all.py [--size 512] [--spp 16]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--max-bounces", type=int, default=64)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.integrator.wavefront import render_film
+
+    for name in [
+        "cornell_diffuse", "cornell_specular", "cornell_volume",
+        "mesh_scene", "many_instance_scene",
+    ]:
+        scene_host, cam = getattr(scenes, name)()
+        scene = scene_host.device()
+        ndc = jnp.asarray(cam.view_proj_inverse())
+        org = jnp.asarray(cam.origin)
+        kw = dict(
+            max_bounces=args.max_bounces, mtypes=scene_host.active_mtypes,
+            any_volumes=scene_host.has_volumes,
+        )
+        rad, rays = render_film(scene, ndc, org, 0, args.size, args.size, args.spp, **kw)
+        rad.block_until_ready()
+        t0 = time.perf_counter()
+        rad, rays = render_film(scene, ndc, org, args.spp, args.size, args.size, args.spp, **kw)
+        rad.block_until_ready()
+        dt = time.perf_counter() - t0
+        engine = (
+            "sweep-static" if "stream_static" in scene["bvh"]
+            else ("sweep-loop" if "stream" in scene["bvh"] else "stack-gather")
+        )
+        print(json.dumps({
+            "config": name,
+            "tris": scene_host.num_world_tris,
+            "engine": engine,
+            "mrays_per_s": round(float(rays) / dt / 1e6, 2),
+            "spp_per_s": round(args.spp / dt, 3),
+            "mean_radiance": round(float(np.asarray(rad).mean()) / args.spp, 5),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Image-quality harness: equal-spp MSE cross-validation per BASELINE config.
+
+BASELINE.json's metric is "equal-spp MSE vs CPU reference render". The Rust
+binary cannot run in this environment, so the harness validates correctness
+the strongest available way: rendering each config with two *independent
+estimators* of the same integral —
+
+* NEE+MIS (the production path), and
+* brute-force BSDF path tracing (``enable_nee=False``)
+
+— and reporting the MSE between their converged images alongside the
+Monte-Carlo noise floor (estimated from sample variance). An implementation
+bug in either light-sampling half shows up as MSE >> noise floor; agreement
+within the floor bounds both estimators to the true integral.
+
+Usage: ``python benches/quality.py [--spp 256] [--size 128]`` — prints one
+JSON line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+CONFIGS = [
+    ("cornell_diffuse", {}),         # BASELINE config 1 (+4: NEE+MIS area light)
+    ("cornell_specular", {}),        # config 2: metal/glass + RR
+    ("mesh_scene", {}),              # config 3: dense mesh through full BVH
+    ("cornell_volume", {}),          # GGX transmissive + participating medium
+    ("many_instance_scene", {}),     # config 5 geometry (single-chip here)
+]
+
+
+def run(spp: int, size: int, max_bounces: int, configs=None):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.integrator.wavefront import render_film
+
+    results = []
+    for name, kw in configs or CONFIGS:
+        scene_host, cam = getattr(scenes, name)(**kw)
+        scene = scene_host.device()
+        ndc = jnp.asarray(cam.view_proj_inverse())
+        org = jnp.asarray(cam.origin)
+        mt = scene_host.active_mtypes
+        av = scene_host.has_volumes
+
+        def image(enable_nee, base):
+            rad, _ = render_film(
+                scene, ndc, org, base, size, size, spp,
+                max_bounces=max_bounces, enable_nee=enable_nee,
+                has_lights=scene_host.has_lights, mtypes=mt, any_volumes=av,
+            )
+            return np.asarray(rad) / spp
+
+        img_nee = image(True, 0)
+        img_pt = image(False, 1 << 20)
+        # second independent NEE render for the noise floor
+        img_nee2 = image(True, 2 << 20)
+
+        mse_cross = float(np.mean((img_nee - img_pt) ** 2))
+        mse_noise = float(np.mean((img_nee - img_nee2) ** 2))
+        out = {
+            "config": name,
+            "size": size,
+            "spp": spp,
+            "mse_nee_vs_bruteforce": round(mse_cross, 8),
+            "mse_noise_floor_nee": round(mse_noise, 8),
+            "mean_nee": round(float(img_nee.mean()), 6),
+            "mean_bruteforce": round(float(img_pt.mean()), 6),
+        }
+        print(json.dumps(out), flush=True)
+        results.append(out)
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=256)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--max-bounces", type=int, default=32)
+    ap.add_argument("--config", default=None, help="run a single named config")
+    args = ap.parse_args()
+    cfgs = [(args.config, {})] if args.config else None
+    run(args.spp, args.size, args.max_bounces, cfgs)

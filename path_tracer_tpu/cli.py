@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--multichip", action="store_true", help="tile film across all devices")
     p.add_argument("--profile-dir", default=None, help="jax.profiler trace output dir")
+    p.add_argument("--retries", type=int, default=2,
+                   help="device-error retries per batch (checkpoint + backoff); "
+                        "TPU tunnels can fault transiently")
     return p
 
 
@@ -77,26 +80,51 @@ def main(argv=None):
     mtypes = scene_host.active_mtypes
     any_volumes = scene_host.has_volumes
     batch = max(1, min(32, args.checkpoint_every or 32))
+
+    def trace_batch(s, cur):
+        if mesh is not None:
+            rad, rays = render_sample_sharded(
+                scene, ndc, org, s, args.width, args.height, mesh,
+                max_bounces=args.max_bounces, enable_nee=not args.no_nee,
+                has_lights=has_lights, spp=cur, mtypes=mtypes,
+                any_volumes=any_volumes,
+            )
+        else:
+            rad, _, _, rays = render_sample(
+                scene, ndc, org, s, args.width, args.height,
+                max_bounces=args.max_bounces, enable_nee=not args.no_nee,
+                has_lights=has_lights, spp=cur, mtypes=mtypes,
+                any_volumes=any_volumes,
+            )
+        rad.block_until_ready()
+        return rad, rays
+
     with device_trace(args.profile_dir):
         s = start
         while s < args.spp:
             cur = min(batch, args.spp - s)
-            if mesh is not None:
-                rad, rays = render_sample_sharded(
-                    scene, ndc, org, s, args.width, args.height, mesh,
-                    max_bounces=args.max_bounces, enable_nee=not args.no_nee,
-                    has_lights=has_lights, spp=cur, mtypes=mtypes,
-                    any_volumes=any_volumes,
-                )
-            else:
-                rad, _, _, rays = render_sample(
-                    scene, ndc, org, s, args.width, args.height,
-                    max_bounces=args.max_bounces, enable_nee=not args.no_nee,
-                    has_lights=has_lights, spp=cur, mtypes=mtypes,
-                    any_volumes=any_volumes,
-                )
-            with meter.measure(0.0):
-                rad.block_until_ready()
+            # Failure resilience: TPU device errors are transient (tunnel
+            # resets, preemptions); checkpoint, back off, and retry the batch.
+            # Samples are pure functions of (lane, sample id), so a retried
+            # batch reproduces exactly what the lost one would have added.
+            attempt = 0
+            while True:
+                try:
+                    with meter.measure(0.0):
+                        rad, rays = trace_batch(s, cur)
+                    break
+                except Exception as e:  # jax.errors.JaxRuntimeError and kin
+                    attempt += 1
+                    if attempt > args.retries:
+                        if args.checkpoint:
+                            save_checkpoint(args.checkpoint, film, s)
+                            print(f"device error after {attempt} attempts; "
+                                  f"progress saved at sample {s}")
+                        raise
+                    if args.checkpoint:
+                        save_checkpoint(args.checkpoint, film, s)
+                    print(f"device error ({type(e).__name__}), retry {attempt}/{args.retries}...")
+                    time.sleep(30.0 * attempt)
             meter.rays += float(rays.sum())
             meter.samples += cur
             frame = jnp.concatenate([rad, jnp.full((rad.shape[0], 1), cur, jnp.float32)], axis=1)

@@ -496,6 +496,10 @@ def render_sample(
 # there is no sync cost between them. (Cornell 1024x1024 sweep: 16K -> 108,
 # 32K -> 100, 64K -> 91, 1M -> 38 Mrays/s at spp 32-64.)
 TILE_LANES = 16384
+# Gather-based traversal amortizes a ~300us fixed gather cost, so it wants
+# larger waves; 64K is the largest empirically stable size on v5e (the
+# stack engine at >=256K lanes has triggered TPU kernel faults).
+TILE_LANES_GATHER = 65536
 
 
 def render_film(
@@ -511,15 +515,22 @@ def render_film(
     has_lights: bool = True,
     mtypes: tuple = bsdf_mod.ALL_MTYPES,
     any_volumes: bool = True,
-    tile_lanes: int = TILE_LANES,
+    tile_lanes: int | None = None,
 ):
     """Trace ``spp`` samples/pixel over the film in lane tiles.
 
     Tiles are dispatched back-to-back without host synchronization (one
     compiled program reused with different lane offsets). Returns
     ``(radiance_sum [N,3], rays_total [scalar jnp])``.
+
+    Tile size defaults by traversal engine: small tiles keep the sweep
+    engine's loop carry VMEM-resident; gather-based stack traversal instead
+    wants LARGE tiles to amortize the ~300us fixed gather latency.
     """
     n = width * height
+    if tile_lanes is None:
+        sweep_engine = "stream_static" in scene["bvh"] or "stream" in scene["bvh"]
+        tile_lanes = TILE_LANES if sweep_engine else TILE_LANES_GATHER
     tile = min(tile_lanes, n)
     while n % tile:
         tile //= 2

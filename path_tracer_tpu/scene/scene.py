@@ -176,7 +176,6 @@ class Scene:
         # the fast path on TPU (see trace/sweep.py). Large scenes stay on the
         # stack+gather traversal.
         from path_tracer_tpu.trace.sweep import (
-            SWEEP_MAX_ROWS,
             UNROLL_MAX_ROWS,
             StaticStream,
             build_stream,
@@ -189,11 +188,16 @@ class Scene:
         unroll_ok = jax.default_backend() != "cpu"
 
         def attach_stream(target, flat, tri_rows, n_tris):
+            # Streams only pay off while small: measured on v5e, a ~5K-row
+            # loop sweep is slower than stack+gather traversal. Beyond the
+            # unrollable size, stay on the stack engine.
             est_rows = 2 * flat["c0_idx"].shape[0] + n_tris
-            if est_rows > SWEEP_MAX_ROWS:
+            if est_rows > 2 * UNROLL_MAX_ROWS:
                 return
             rows = build_stream(flat, tri_rows)
-            if unroll_ok and rows.shape[0] <= UNROLL_MAX_ROWS:
+            if rows.shape[0] > UNROLL_MAX_ROWS:
+                return
+            if unroll_ok:
                 # fully unrolled compile-time traversal (fastest)
                 target["stream_static"] = StaticStream(rows)
             else:

@@ -1,0 +1,110 @@
+"""Debug-mode validation: the framework's analog of the reference's
+``debug_assert!`` layer (SURVEY.md §4/§5).
+
+The reference sprinkles debug-build invariants through the hot path (ray
+normalization ``ray.rs:12``, AABB ordering ``boundingbox.rs:42``, ONB
+orthonormality ``onb.rs:3``, Sobol range ``sampling.rs:110``, tonemap
+parameter ranges ``tonemapping.rs:70-73``). In a pure-functional JAX renderer
+there is no shared mutable state to race on; what remains worth checking is
+data validity, so debug mode validates (a) the scene at build time, and
+(b) renderer outputs after a wave. All checks are host-side and zero-cost
+when not invoked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SceneValidationError(AssertionError):
+    pass
+
+
+def _check(cond: bool, msg: str):
+    if not cond:
+        raise SceneValidationError(msg)
+
+
+def validate_scene(scene_host) -> None:
+    """Structural invariants of a built `scene.Scene`."""
+    bvh = scene_host.bvh
+    t = scene_host.num_world_tris
+
+    # AABB ordering (boundingbox.rs:42) for every real child
+    for c in ("c0", "c1"):
+        valid = bvh[f"{c}_count"] != -1
+        _check(
+            bool((bvh[f"{c}_min"][valid] <= bvh[f"{c}_max"][valid] + 1e-6).all()),
+            f"{c} AABB min > max",
+        )
+
+    # Leaves cover each primitive exactly once
+    seen = np.zeros(t, np.int64)
+    for c in ("c0", "c1"):
+        for i in range(bvh[f"{c}_idx"].shape[0]):
+            count = int(bvh[f"{c}_count"][i])
+            if count > 0:
+                seen[int(bvh[f"{c}_idx"][i]) : int(bvh[f"{c}_idx"][i]) + count] += 1
+    _check(bool((seen == 1).all()), "BVH leaves do not partition primitives")
+
+    # Triangle data finite; shading normals non-degenerate
+    for key in ("n0", "n1", "n2", "d0", "d1", "d2"):
+        _check(bool(np.isfinite(scene_host.tri[key]).all()), f"non-finite tri field {key}")
+    nrm = scene_host.tri["normals"].reshape(-1, 3)
+    _check(bool((np.linalg.norm(nrm, axis=-1) > 0).all()), "zero-length shading normal")
+
+    # Light CDF monotone, ends at ~1 (light_sampler.rs:41-61)
+    if scene_host.has_lights:
+        cdf = scene_host.light["cdf"]
+        _check(bool((np.diff(cdf) >= -1e-7).all()), "light CDF not monotone")
+        _check(abs(float(cdf[-1]) - 1.0) < 1e-4, "light CDF does not end at 1")
+        _check(bool((scene_host.light["pdf"] >= 0).all()), "negative light pdf")
+
+    # Material parameter ranges (material.rs:294: a in [1e-4, 0.9999])
+    mat = scene_host.mat
+    ggx = (mat["mtype"] == 3) | (mat["mtype"] == 4)
+    if ggx.any():
+        a = mat["ggx_a"][ggx]
+        _check(bool(((a >= 1e-4) & (a <= 0.9999)).all()), "GGX alpha out of range")
+    _check(bool((mat["ior"] > 0).all()), "non-positive IOR")
+
+    # Environment image positive-size, finite
+    _check(np.isfinite(scene_host.env).all(), "non-finite environment texels")
+
+
+def validate_render_outputs(radiance, position, first_id, rays) -> None:
+    """Post-wave output invariants (integrator.rs:272-280 guarantees)."""
+    rad = np.asarray(radiance)
+    _check(bool(np.isfinite(rad).all()), "non-finite radiance escaped the sample guard")
+    _check(bool((rad >= 0).all()), "negative radiance")
+    _check(bool(np.isfinite(np.asarray(position)).all()), "non-finite position buffer")
+    _check(bool((np.asarray(rays) >= 0).all()), "negative ray count")
+
+
+def debug_render(scene_host, camera, width, height, spp=1, **kw):
+    """Render with scene + output validation; returns the film like
+    `integrator.render`."""
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.integrator.wavefront import render_sample
+
+    validate_scene(scene_host)
+    scene = scene_host.device()
+    rad, pos, fid, rays = render_sample(
+        scene,
+        jnp.asarray(camera.view_proj_inverse()),
+        jnp.asarray(camera.origin),
+        0,
+        width,
+        height,
+        spp=spp,
+        mtypes=scene_host.active_mtypes,
+        any_volumes=scene_host.has_volumes,
+        has_lights=scene_host.has_lights,
+        **kw,
+    )
+    validate_render_outputs(rad, pos, fid, rays)
+    film = jnp.concatenate(
+        [rad, jnp.full((rad.shape[0], 1), spp, jnp.float32)], axis=1
+    ).reshape(height, width, 4)
+    return film

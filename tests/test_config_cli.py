@@ -71,3 +71,29 @@ def test_cli_tiny_render(tmp_path):
         "--spp", "2", "--max-bounces", "4", "--out", str(out),
         "--checkpoint", str(ckpt),
     ])
+
+
+def test_debug_validation():
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.utils.debug import debug_render, validate_scene
+
+    scene_host, cam = scenes.cornell_diffuse()
+    validate_scene(scene_host)
+    film = debug_render(scene_host, cam, 16, 16, spp=1, max_bounces=4)
+    import numpy as np
+
+    assert np.isfinite(np.asarray(film)).all()
+
+
+def test_debug_validation_catches_bad_scene():
+    import numpy as np
+    import pytest
+
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.utils.debug import SceneValidationError, validate_scene
+
+    scene_host, _ = scenes.cornell_diffuse()
+    scene_host.tri["n0"] = scene_host.tri["n0"].copy()
+    scene_host.tri["n0"][0] = np.nan
+    with pytest.raises(SceneValidationError):
+        validate_scene(scene_host)
