@@ -71,5 +71,22 @@ def main():
     )
 
 
+def main_with_retries(attempts: int = 5, backoff_s: float = 120.0):
+    """The TPU tunnel in this environment faults transiently (device errors
+    that clear after a cool-down); retry so a single fault doesn't zero the
+    benchmark."""
+    import time as _time
+
+    for attempt in range(attempts):
+        try:
+            return main()
+        except Exception as e:  # jax.errors.JaxRuntimeError and kin
+            if attempt == attempts - 1:
+                raise
+            print(f"# device error ({type(e).__name__}), retrying in {backoff_s:.0f}s "
+                  f"({attempt + 1}/{attempts})", flush=True)
+            _time.sleep(backoff_s)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retries()

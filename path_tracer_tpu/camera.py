@@ -56,11 +56,11 @@ class Camera:
         self.matrix = look_at_matrix(origin, target)  # [3,4] camera->world
         self.projection = perspective_infinite_rh(np.deg2rad(fov), aspect_ratio)
         self.inv_projection = np.linalg.inv(self.projection)
-        # yaw/pitch state for interactive rotation (camera.rs:23):
-        # decompose R = Ry(pitch_var) @ Rx(yaw_var) (glam EulerRot::YXZ naming
-        # quirk: the reference binds (pitch, yaw, _) = to_euler(YXZ)).
+        # yaw/pitch state for interactive rotation. Naming follows the
+        # reference's quirk (camera.rs:23 binds ``(pitch, yaw, _) =
+        # to_euler(YXZ)``): ``pitch`` is the rotation about Y, ``yaw`` about
+        # X, with R = Ry(pitch) @ Rx(yaw).
         r = self.matrix[:, :3]
-        self.pitch = float(np.arctan2(-r[2, 0], np.hypot(r[0, 0], r[1, 0])))  # rot about Y
         self.pitch = float(np.arctan2(r[0, 2], r[2, 2]))
         self.yaw = float(np.arcsin(np.clip(-r[1, 2], -1.0, 1.0)))
 
