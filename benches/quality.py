@@ -62,17 +62,23 @@ def run(spp: int, size: int, max_bounces: int, configs=None):
 
         img_nee = image(True, 0)
         img_pt = image(False, 1 << 20)
-        # second independent NEE render for the noise floor
+        # independent repeats for the noise floors of each estimator
         img_nee2 = image(True, 2 << 20)
+        img_pt2 = image(False, 3 << 20)
 
         mse_cross = float(np.mean((img_nee - img_pt) ** 2))
-        mse_noise = float(np.mean((img_nee - img_nee2) ** 2))
+        mse_noise_nee = float(np.mean((img_nee - img_nee2) ** 2))
+        mse_noise_pt = float(np.mean((img_pt - img_pt2) ** 2))
+        # the cross-MSE of unbiased estimators should sit near the sum of
+        # their per-estimator variances (= half the pairwise repeat MSEs)
+        floor = 0.5 * (mse_noise_nee + mse_noise_pt)
         out = {
             "config": name,
             "size": size,
             "spp": spp,
             "mse_nee_vs_bruteforce": round(mse_cross, 8),
-            "mse_noise_floor_nee": round(mse_noise, 8),
+            "expected_noise_floor": round(floor, 8),
+            "cross_over_floor": round(mse_cross / max(floor, 1e-12), 3),
             "mean_nee": round(float(img_nee.mean()), 6),
             "mean_bruteforce": round(float(img_pt.mean()), 6),
         }

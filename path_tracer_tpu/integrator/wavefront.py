@@ -529,8 +529,12 @@ def render_film(
     """
     n = width * height
     if tile_lanes is None:
-        sweep_engine = "stream_static" in scene["bvh"] or "stream" in scene["bvh"]
-        tile_lanes = TILE_LANES if sweep_engine else TILE_LANES_GATHER
+        gather_engine = (
+            "stream_static" not in scene["bvh"]
+            and "stream" not in scene["bvh"]
+            and "dense" not in scene["tri"]
+        )
+        tile_lanes = TILE_LANES_GATHER if gather_engine else TILE_LANES
     tile = min(tile_lanes, n)
     while n % tile:
         tile //= 2

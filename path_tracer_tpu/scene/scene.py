@@ -209,4 +209,13 @@ class Scene:
                 data["lights_bvh"], self.lights_bvh,
                 np.asarray(data["light"]["packed"]), self.light["d0"].shape[0],
             )
+
+        # Mid-size scenes without a stream use the dense chunked MXU engine
+        # (trace/dense.py) instead of gather-based stack traversal.
+        from path_tracer_tpu.trace.dense import DENSE_MAX_TRIS, pack_dense
+
+        if "stream_static" not in data["bvh"] and "stream" not in data["bvh"]                 and self.num_world_tris <= DENSE_MAX_TRIS:
+            data["tri"]["dense"] = {
+                k: jnp.asarray(v) for k, v in pack_dense(self.tri).items()
+            }
         return data

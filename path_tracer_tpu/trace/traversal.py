@@ -287,6 +287,10 @@ def closest_hit(bvh, tri, origin, direction, t_limit=None):
         from path_tracer_tpu.trace.sweep import sweep_closest_hit
 
         return sweep_closest_hit(bvh["stream"], origin, direction, t_limit)
+    if "dense" in tri:
+        from path_tracer_tpu.trace.dense import dense_closest_hit
+
+        return dense_closest_hit(tri["dense"], origin, direction, t_limit)
     return _closest_hit_impl(bvh["packed"], tri["packed"], origin, direction, t_limit)
 
 
@@ -373,6 +377,10 @@ def any_hit(bvh, tri, origin, direction, t_limit):
         from path_tracer_tpu.trace.sweep import sweep_any_hit
 
         return sweep_any_hit(bvh["stream"], origin, direction, t_limit)
+    if "dense" in tri:
+        from path_tracer_tpu.trace.dense import dense_any_hit
+
+        return dense_any_hit(tri["dense"], origin, direction, t_limit)
     return _any_hit_impl(bvh["packed"], tri["packed"], origin, direction, t_limit)
 
 

@@ -95,3 +95,29 @@ def test_single_triangle_scene():
     assert ti[1] == -1
     np.testing.assert_allclose(np.asarray(tu)[0], 0.2, atol=1e-5)
     np.testing.assert_allclose(np.asarray(tv)[0], 0.2, atol=1e-5)
+
+
+def test_dense_engine_matches_stack():
+    from path_tracer_tpu.trace import dense as dense_mod
+
+    pos, _ = procedural.icosphere(radius=5.0, subdivisions=2)
+    flat, tri, _ = _make_geom(pos)
+    d_tbl = {k: jnp.asarray(v) for k, v in dense_mod.pack_dense(
+        {kk: np.asarray(vv) for kk, vv in tri.items() if kk != "packed"}).items()}
+    rs = np.random.default_rng(11)
+    o, d = _random_rays(384, rs, aim=(0.0, 0.0, 0.0))
+    lim = jnp.full(384, np.inf, jnp.float32)
+
+    si, st, su, sv = traversal._closest_hit_impl(flat["packed"], tri["packed"], o, d, lim)
+    di, dt, du, dv = dense_mod.dense_closest_hit(d_tbl, o, d, lim)
+    si, st, di, dt = map(np.asarray, (si, st, di, dt))
+    hit = si >= 0
+    np.testing.assert_array_equal(di >= 0, hit)
+    np.testing.assert_allclose(dt[hit], st[hit], rtol=1e-4, atol=1e-4)
+    assert (di[hit] == si[hit]).mean() > 0.99
+
+    fa = np.asarray(dense_mod.dense_any_hit(d_tbl, o, d, jnp.full(384, 1e9, jnp.float32)))
+    np.testing.assert_array_equal(fa, hit)
+    # zero-extent rays find nothing
+    f0 = np.asarray(dense_mod.dense_any_hit(d_tbl, o, d, jnp.zeros(384, jnp.float32)))
+    assert not f0.any()
