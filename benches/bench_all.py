@@ -40,12 +40,28 @@ def main():
             max_bounces=args.max_bounces, mtypes=scene_host.active_mtypes,
             any_volumes=scene_host.has_volumes,
         )
-        rad, rays = render_film(scene, ndc, org, 0, args.size, args.size, args.spp, **kw)
-        rad.block_until_ready()
-        t0 = time.perf_counter()
-        rad, rays = render_film(scene, ndc, org, args.spp, args.size, args.size, args.spp, **kw)
-        rad.block_until_ready()
-        dt = time.perf_counter() - t0
+
+        # the TPU tunnel faults transiently; retry each config independently
+        def attempt():
+            rad, rays = render_film(scene, ndc, org, 0, args.size, args.size, args.spp, **kw)
+            rad.block_until_ready()
+            t0 = time.perf_counter()
+            rad, rays = render_film(scene, ndc, org, args.spp, args.size, args.size, args.spp, **kw)
+            rad.block_until_ready()
+            return rad, rays, time.perf_counter() - t0
+
+        rad = None
+        for retry in range(4):
+            try:
+                rad, rays, dt = attempt()
+                break
+            except Exception as e:
+                print(f"# {name}: device error {type(e).__name__}, retry {retry + 1}/4",
+                      flush=True)
+                time.sleep(150)
+        if rad is None:
+            print(json.dumps({"config": name, "error": "device unavailable"}), flush=True)
+            continue
         engine = (
             "sweep-static" if "stream_static" in scene["bvh"]
             else ("sweep-loop" if "stream" in scene["bvh"] else "stack-gather")

@@ -235,3 +235,20 @@ def display_frame(accumulation: jnp.ndarray) -> jnp.ndarray:
 def pack_ids(prev_packed: jnp.ndarray, new_id: jnp.ndarray) -> jnp.ndarray:
     """Per-frame id packing ``(*id << 16) | new`` (main.rs:206)."""
     return (prev_packed << jnp.uint32(16)) | (new_id & jnp.uint32(0xFFFF))
+
+
+def display_letterboxed(frame: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Fit a [H,W,3] frame into an (out_h, out_w) canvas preserving aspect,
+    with black bars — the reference's viewport letterboxing on window resize
+    (state.rs:486-503). Nearest-neighbour scale (display-only path)."""
+    h, w = frame.shape[:2]
+    scale = min(out_w / w, out_h / h)
+    new_w = max(1, int(w * scale))
+    new_h = max(1, int(h * scale))
+    ys = jnp.clip((jnp.arange(new_h) / scale).astype(jnp.int32), 0, h - 1)
+    xs = jnp.clip((jnp.arange(new_w) / scale).astype(jnp.int32), 0, w - 1)
+    scaled = frame[ys][:, xs]
+    top = (out_h - new_h) // 2
+    left = (out_w - new_w) // 2
+    canvas = jnp.zeros((out_h, out_w, 3), frame.dtype)
+    return jax.lax.dynamic_update_slice(canvas, scaled, (top, left, 0))

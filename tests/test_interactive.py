@@ -96,3 +96,16 @@ def test_pack_ids():
     new = jnp.asarray([[0x00CD]], jnp.uint32)
     packed = np.asarray(taa.pack_ids(prev, new))[0, 0]
     assert packed == (0xAB << 16) | 0xCD
+
+
+def test_display_letterboxed():
+    import jax.numpy as jnp
+
+    frame = jnp.ones((9, 16, 3), jnp.float32)  # 16:9 content
+    out = np.asarray(taa.display_letterboxed(frame, 20, 20))  # square window
+    assert out.shape == (20, 20, 3)
+    # bars top/bottom, content centered
+    assert out[0].max() == 0.0 and out[-1].max() == 0.0
+    assert out[10].max() == 1.0
+    # no horizontal bars for width-limited fit
+    assert out[:, 0].max() == 1.0 or out[:, 1].max() == 1.0
