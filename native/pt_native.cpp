@@ -342,8 +342,10 @@ int64_t bvh_build(const float *bbmin, const float *bbmax, int64_t n, int64_t max
   if (rn.leaf) {
     w.set_box(w.c0_min, slot0, rn.box.mn);
     w.set_box(w.c0_max, slot0, rn.box.mx);
-    float inf[3] = {INFINITY, INFINITY, INFINITY};
-    float ninf[3] = {-INFINITY, -INFINITY, -INFINITY};
+    // finite no-child sentinel: inf would poison one-hot matmul gathers
+    // (0 * inf = NaN); matches NO_CHILD_BOUND in scene/bvh.py
+    float inf[3] = {3.0e37f, 3.0e37f, 3.0e37f};
+    float ninf[3] = {-3.0e37f, -3.0e37f, -3.0e37f};
     w.set_box(w.c1_min, slot0, inf);
     w.set_box(w.c1_max, slot0, ninf);
     w.c0_idx[slot0] = (int32_t)rn.a;

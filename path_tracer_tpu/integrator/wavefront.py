@@ -49,6 +49,7 @@ from path_tracer_tpu.integrator import bsdf as bsdf_mod
 from path_tracer_tpu.scene.envmap import sample_environment
 from path_tracer_tpu.trace.gather import gather_rows, searchsorted_small
 from path_tracer_tpu.trace.traversal import any_hit, closest_hit
+from path_tracer_tpu.trace.twolevel import any_hit_twolevel, closest_hit_twolevel
 
 # RNG stream ids (per bounce). Volume slots use VOLUME + k.
 _S_RR = 0
@@ -80,12 +81,54 @@ def _interp_position(positions_flat: jnp.ndarray, idx: jnp.ndarray, u: jnp.ndarr
     return tri_p[:, 0] * w[:, None] + tri_p[:, 1] * u[:, None] + tri_p[:, 2] * v[:, None]
 
 
-def _hit_normal(scene, idx, u, v, direction):
+def _world_closest(scene, o, d, lim):
+    """World closest-hit via the scene's traversal mode. Returns
+    (tri_idx, t, u, v, inst_idx); inst is -1 in baked mode."""
+    if "twolevel" in scene:
+        tl = scene["twolevel"]
+        return closest_hit_twolevel(
+            tl["tlas_packed"], tl["blas_packed"], tl["inst_rows"], tl["tri_packed"], o, d, lim
+        )
+    ti, t, u, v = closest_hit(scene["bvh"], scene["tri"], o, d, lim)
+    return ti, t, u, v, jnp.full_like(ti, -1)
+
+
+def _world_any(scene, o, d, lim):
+    if "twolevel" in scene:
+        tl = scene["twolevel"]
+        return any_hit_twolevel(
+            tl["tlas_packed"], tl["blas_packed"], tl["inst_rows"], tl["tri_packed"], o, d, lim
+        )
+    return any_hit(scene["bvh"], scene["tri"], o, d, lim)
+
+
+def _hit_normal(scene, idx, u, v, direction, inst):
     """Shading normal flipped against the ray + front_facing flag
-    (primitive.rs:160-170)."""
-    n = _interp_normal(scene["tri"]["normals_flat"], idx, u, v)
+    (primitive.rs:160-170). In two-level mode normals interpolate in object
+    space and rotate by the instance matrix afterwards — the reference's
+    deferred normal transform (tlas.rs:103-109)."""
+    if "twolevel" in scene:
+        tl = scene["twolevel"]
+        n_obj = _interp_normal(tl["normals_flat"], idx, u, v)
+        irows = gather_rows(tl["inst_rows"], jnp.maximum(inst, 0))
+        rot = irows[:, 0:9].reshape(-1, 3, 3)
+        n = jnp.einsum("nij,nj->ni", rot, n_obj)
+    else:
+        n = _interp_normal(scene["tri"]["normals_flat"], idx, u, v)
     front = dot(direction, n) < 0.0
     return jnp.where(front[:, None], n, -n), front
+
+
+def _hit_material_model(scene, tri_idx, inst):
+    """(material id, model id) for hits, per traversal mode. Materials are
+    per model in both modes (model.rs: one material per Model)."""
+    if "twolevel" in scene:
+        irows = gather_rows(scene["twolevel"]["inst_rows"], jnp.maximum(inst, 0))
+        model_id = irows[:, 25].astype(jnp.int32)
+        return model_id, model_id
+    mat_idx = jnp.take(scene["tri"]["mat"], jnp.maximum(tri_idx, 0))
+    model_id = gather_rows(scene["tri"]["model_rows"], jnp.maximum(tri_idx, 0))[:, 0].astype(jnp.int32)
+    return mat_idx, model_id
 
 
 def _volume_gather(mat: dict, ids: jnp.ndarray):
@@ -154,7 +197,7 @@ def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m
 
     facing = dot(wo, normal) > 0.0
     shadow_limit = jnp.where(mask & facing, (1.0 - EPSILON) * dist, 0.0)
-    unoccluded = ~any_hit(scene["bvh"], scene["tri"], o_s, wo, shadow_limit)
+    unoccluded = ~_world_any(scene, o_s, wo, shadow_limit)
     visible = facing & unoccluded
 
     bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front, mtypes)
@@ -183,7 +226,7 @@ def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, fro
     light_found = li >= 0
     # Full shadow test at (1-EPS) * light distance (integrator.rs:103)
     shadow_limit = jnp.where(live & light_found, lt * (1.0 - EPSILON), 0.0)
-    unoccluded = ~any_hit(scene["bvh"], scene["tri"], o_s, wo, shadow_limit)
+    unoccluded = ~_world_any(scene, o_s, wo, shadow_limit)
 
     bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front, mtypes)
     valid_pdf = bsdf_pdf > MIN_PDF
@@ -315,8 +358,8 @@ def trace_lanes(
         throughput = jnp.where(rr_on[:, None], throughput / jnp.maximum(survive, 1e-20)[:, None], throughput)
 
         # --- closest hit on the world (dead lanes get a zero-extent ray) ---
-        tri_idx, t_hit, hu, hv = closest_hit(
-            scene["bvh"], scene["tri"], o, d, jnp.where(alive, INFINITY, 0.0)
+        tri_idx, t_hit, hu, hv, inst_idx = _world_closest(
+            scene, o, d, jnp.where(alive, INFINITY, 0.0)
         )
         hit = (tri_idx >= 0) & alive
 
@@ -325,8 +368,6 @@ def trace_lanes(
         at_b0 = alive & (b == 0) & (s_idx == base)
         pos_hit = jnp.concatenate([ray_at(o, d, t_hit), t_hit[:, None]], axis=1)
         position = jnp.where((at_b0 & hit)[:, None], pos_hit, position)
-        model_id = gather_rows(scene["tri"]["model_rows"], jnp.maximum(tri_idx, 0))[:, 0]
-        first_id = jnp.where(at_b0 & hit, model_id.astype(jnp.uint32), first_id)
 
         # --- participating media (integrator.rs:189-205) ---
         # (compiled out entirely when no scene material carries a volume)
@@ -371,8 +412,9 @@ def trace_lanes(
 
         # --- surface interaction for unscattered hit lanes ---
         surf = hit & ~scattered
-        normal, front = _hit_normal(scene, tri_idx, hu, hv, d)
-        mat_idx = jnp.take(scene["tri"]["mat"], jnp.maximum(tri_idx, 0))
+        normal, front = _hit_normal(scene, tri_idx, hu, hv, d, inst_idx)
+        mat_idx, model_id = _hit_material_model(scene, tri_idx, inst_idx)
+        first_id = jnp.where(at_b0 & hit, model_id.astype(jnp.uint32), first_id)
         m_lane = bsdf_mod.gather_mat(mat, mat_idx)
         wi_viewer = -d
         o_surf = ray_at(o, d, t_hit)

@@ -140,6 +140,13 @@ def build_sah_tree(aabb_min: np.ndarray, aabb_max: np.ndarray, max_leaf: int = 4
     return nodes, perm, root
 
 
+# Sentinel for "no child" boxes. Must be FINITE: node tables are fetched with
+# one-hot matmul gathers (trace/gather.py), and an inf anywhere in the table
+# would poison every gathered row with 0*inf=NaN. 3e37 never passes a slab
+# test, which is all that matters.
+NO_CHILD_BOUND = np.float32(3.0e37)
+
+
 def flatten(nodes: list[_Node], root: int) -> dict[str, np.ndarray]:
     """Flatten the tree into dual-child SoA records (see module docstring).
 
@@ -147,7 +154,7 @@ def flatten(nodes: list[_Node], root: int) -> dict[str, np.ndarray]:
     start at index 0. A root that is itself a leaf gets a synthetic parent with
     an empty second child.
     """
-    inf = np.float32(np.inf)
+    inf = NO_CHILD_BOUND
 
     recs: list[dict] = []
 
@@ -201,8 +208,8 @@ def flatten(nodes: list[_Node], root: int) -> dict[str, np.ndarray]:
         out[key] = np.stack([r[key] for r in recs]).astype(np.float32)
     for key in ("c0_idx", "c0_count", "c1_idx", "c1_count"):
         out[key] = np.array([r[key] for r in recs], dtype=np.int32)
-    out["root_min"] = np.minimum(out["c0_min"][0], np.where(out["c1_count"][0] == -1, np.inf, out["c1_min"][0])).astype(np.float32)
-    out["root_max"] = np.maximum(out["c0_max"][0], np.where(out["c1_count"][0] == -1, -np.inf, out["c1_max"][0])).astype(np.float32)
+    out["root_min"] = np.minimum(out["c0_min"][0], np.where(out["c1_count"][0] == -1, NO_CHILD_BOUND, out["c1_min"][0])).astype(np.float32)
+    out["root_max"] = np.maximum(out["c0_max"][0], np.where(out["c1_count"][0] == -1, -NO_CHILD_BOUND, out["c1_max"][0])).astype(np.float32)
     return out
 
 

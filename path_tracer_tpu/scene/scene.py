@@ -53,8 +53,15 @@ def _pack_tris(positions: np.ndarray, normals: np.ndarray) -> dict[str, np.ndarr
 class Scene:
     """Host-side scene: build once, then ``.device()`` for the jitted renderer."""
 
-    def __init__(self, models: list[Model], env: np.ndarray | None = None):
+    def __init__(self, models: list[Model], env: np.ndarray | None = None,
+                 two_level: bool = False):
+        """``two_level=True`` keeps each model's BLAS shared across instances
+        and traverses TLAS->BLAS with per-instance ray transforms
+        (trace/twolevel.py) instead of baking instances into one world BVH —
+        the memory-scaling mode for massive instancing (the reference's only
+        mode, tlas.rs:66-110). Light tables are always world-space."""
         self.models = models
+        self.two_level = two_level
 
         world_pos, world_nrm, world_mat, world_model = [], [], [], []
         light_pos, light_nrm, light_mat, light_model = [], [], [], []
@@ -130,6 +137,11 @@ class Scene:
         self.env = np.asarray(env, np.float32)
 
         self.num_world_tris = world_pos.shape[0]
+
+        if two_level:
+            from path_tracer_tpu.scene.twolevel_scene import TwoLevelGeometry
+
+            self.twolevel = TwoLevelGeometry(models)
 
     def device(self) -> SceneData:
         """Upload to device as a nested dict pytree of jnp arrays.
@@ -214,8 +226,17 @@ class Scene:
         # (trace/dense.py) instead of gather-based stack traversal.
         from path_tracer_tpu.trace.dense import DENSE_MAX_TRIS, pack_dense
 
-        if "stream_static" not in data["bvh"] and "stream" not in data["bvh"]                 and self.num_world_tris <= DENSE_MAX_TRIS:
+        if ("stream_static" not in data["bvh"] and "stream" not in data["bvh"]
+                and self.num_world_tris <= DENSE_MAX_TRIS):
             data["tri"]["dense"] = {
                 k: jnp.asarray(v) for k, v in pack_dense(self.tri).items()
             }
+
+        if self.two_level:
+            # World traversal + shading switch to the shared-BLAS tables; the
+            # baked world device arrays are dropped entirely (that is the
+            # memory saving), keeping only the light tables (small).
+            data["twolevel"] = self.twolevel.device()
+            data["bvh"] = {}
+            data["tri"] = {}
         return data

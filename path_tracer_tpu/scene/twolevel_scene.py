@@ -43,6 +43,7 @@ class TwoLevelGeometry:
     def __init__(self, models: list[Model]):
         blas_nodes = []
         tri_rows = []
+        tri_normals = []
         inst_matrices = []
         inst_roots = []
         inst_models = []
@@ -56,6 +57,7 @@ class TwoLevelGeometry:
             bmin, bmax = tri_mod.aabbs(model.positions)
             flat, perm, _ = bvh_mod.build_bvh(bmin, bmax)
             pre = {k: v[perm] for k, v in pre.items()}
+            tri_normals.append(model.normals[perm].reshape(-1, 9).astype(np.float32))
 
             # apply global offsets: internal child -> node index, leaf ->
             # first-primitive index
@@ -86,6 +88,7 @@ class TwoLevelGeometry:
 
         self.blas_packed = np.concatenate(blas_nodes)
         self.tri_packed = np.concatenate(tri_rows)
+        self.normals_flat = np.concatenate(tri_normals)  # OBJECT-space [T, 9]
         self.inst_rows = pack_instances(
             np.stack(inst_matrices), np.asarray(inst_roots), np.asarray(inst_models)
         )
@@ -99,4 +102,5 @@ class TwoLevelGeometry:
             "blas_packed": jnp.asarray(self.blas_packed),
             "inst_rows": jnp.asarray(self.inst_rows),
             "tri_packed": jnp.asarray(self.tri_packed),
+            "normals_flat": jnp.asarray(self.normals_flat),
         }

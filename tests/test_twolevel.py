@@ -73,3 +73,42 @@ def test_twolevel_any_hit():
         o, d, jnp.full(n, 1e9, jnp.float32),
     )
     np.testing.assert_array_equal(np.asarray(found), np.asarray(ti) >= 0)
+
+
+def test_twolevel_full_render_matches_baked():
+    """End-to-end: the two-level integrator path converges to the baked
+    image (same estimator, same RNG -> identical modulo traversal order)."""
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.integrator.wavefront import render_sample
+
+    sphere_p, sphere_n = procedural.icosphere((0.0, 250.0, 0.0), 120.0, 1)
+    from path_tracer_tpu.scene.materials import Emissive
+
+    light_p, light_n = procedural.cornell_light()
+    walls_p, walls_n = procedural.cornell_walls()
+    models = [
+        Model(Emissive((15.0, 15.0, 15.0)), positions=light_p, normals=light_n),
+        Model(Lambertian((0.73, 0.73, 0.73)), positions=walls_p, normals=walls_n),
+        Model(Lambertian((0.3, 0.5, 0.7)),
+              matrices=[rigid_transform(rotation_y(0.4), (0.0, -60.0, 0.0))],
+              positions=sphere_p, normals=sphere_n),
+    ]
+    from path_tracer_tpu import scenes
+
+    cam = scenes.cornell_camera()
+    baked = Scene(models)
+    two = Scene(models, two_level=True)
+    assert "twolevel" in two.device()
+
+    W = H = 24
+    args = (jnp.asarray(cam.view_proj_inverse()), jnp.asarray(cam.origin), 0, W, H)
+    kw = dict(max_bounces=8, enable_nee=True, has_lights=True, spp=2)
+    rad_b, _, fid_b, _ = render_sample(baked.device(), *args, **kw)
+    rad_t, _, fid_t, _ = render_sample(two.device(), *args, **kw)
+    rad_b, rad_t = np.asarray(rad_b), np.asarray(rad_t)
+    # identical RNG + geometry -> same paths; tiny FP differences from the
+    # object-space transform round trip
+    np.testing.assert_array_equal(np.asarray(fid_t), np.asarray(fid_b))
+    close = np.isclose(rad_t, rad_b, rtol=1e-3, atol=1e-3).mean()
+    assert close > 0.98, close
