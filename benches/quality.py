@@ -13,6 +13,16 @@ Monte-Carlo noise floor (estimated from sample variance). An implementation
 bug in either light-sampling half shows up as MSE >> noise floor; agreement
 within the floor bounds both estimators to the true integral.
 
+Caveat (measured, reference-faithful): scenes dominated by GGX surfaces show
+a systematic few-percent gap between the estimators. The reference samples
+GGX half-vectors from the VNDF but weights with the plain-NDF pdf
+(material.rs:248-284 vs :423,:438), so each estimator carries a (different)
+bias; the gap persists at any spp and with the firefly clamp disabled, and
+our VNDF sampler is cross-validated against an independent algorithm
+(tests/test_bsdf.py::test_ggx_half_vector_matches_independent_vndf_sampler).
+Reproducing the reference's sampling scheme exactly means reproducing this
+property.
+
 Usage: ``python benches/quality.py [--spp 256] [--size 128]`` — prints one
 JSON line per config.
 """

@@ -215,3 +215,59 @@ def test_beer_lambert_and_free_flight():
     u = np.asarray(uniform4(jnp.arange(100000, dtype=jnp.uint32), 8, 0, 3))[:, 0]
     t = np.asarray(bsdf_mod.free_flight(jnp.asarray(u), jnp.float32(c)))
     assert abs(t.mean() - 200.0) < 4.0
+
+
+def test_ggx_half_vector_matches_independent_vndf_sampler():
+    """The reference samples GGX half-vectors with Heitz's 2017 'Simpler and
+    Exact' routine (material.rs:248-284). Validate our transcription against
+    an INDEPENDENT implementation of VNDF sampling (Heitz 2018, hemisphere
+    formulation) — both sample the same distribution of visible normals, so
+    their cos-theta histograms must agree even though the algorithms differ."""
+    from path_tracer_tpu.integrator.bsdf import _ggx_half_vector
+
+    n = 60000
+    rs = np.random.default_rng(3)
+    a = 0.4**2  # linear roughness 0.4 remapped
+
+    # fixed incoming direction 30 deg off normal (z-up world == tangent frame)
+    ray_dir = np.tile([np.sin(0.5), 0.0, -np.cos(0.5)], (n, 1)).astype(np.float32)
+    normal = np.tile([0.0, 0.0, 1.0], (n, 1)).astype(np.float32)
+    u = rs.random((n, 2)).astype(np.float32)
+    h_ours = np.asarray(
+        _ggx_half_vector(
+            jnp.full(n, a, jnp.float32), jnp.asarray(ray_dir), jnp.asarray(normal),
+            jnp.asarray(u[:, 0]), jnp.asarray(u[:, 1]),
+        )
+    )
+
+    # independent sampler: Heitz 2018 "Sampling the GGX Distribution of
+    # Visible Normals", JCGT — hemisphere/cross-section method
+    v = -ray_dir[0]  # view direction (away from surface)
+    vh = np.array([a * v[0], a * v[1], v[2]])
+    vh /= np.linalg.norm(vh)
+    lensq = vh[0] ** 2 + vh[1] ** 2
+    T1 = np.array([-vh[1], vh[0], 0.0]) / np.sqrt(lensq) if lensq > 0 else np.array([1.0, 0, 0])
+    T2 = np.cross(vh, T1)
+    u2 = rs.random((n, 2))
+    r = np.sqrt(u2[:, 0])
+    phi = 2 * np.pi * u2[:, 1]
+    t1 = r * np.cos(phi)
+    t2 = r * np.sin(phi)
+    s = 0.5 * (1.0 + vh[2])
+    t2 = (1.0 - s) * np.sqrt(np.maximum(1.0 - t1**2, 0)) + s * t2
+    nh = (
+        t1[:, None] * T1[None]
+        + t2[:, None] * T2[None]
+        + np.sqrt(np.maximum(1.0 - t1**2 - t2**2, 0))[:, None] * vh[None]
+    )
+    h_ref = np.stack([a * nh[:, 0], a * nh[:, 1], np.maximum(nh[:, 2], 1e-6)], axis=1)
+    h_ref /= np.linalg.norm(h_ref, axis=1, keepdims=True)
+
+    # compare cos-theta distributions
+    q = np.linspace(0.05, 0.95, 10)
+    qo = np.quantile(h_ours[:, 2], q)
+    qr = np.quantile(h_ref[:, 2], q)
+    np.testing.assert_allclose(qo, qr, atol=0.01)
+    # azimuthal means around the view plane agree
+    assert abs(h_ours[:, 1].mean()) < 0.01 and abs(h_ref[:, 1].mean()) < 0.01
+    np.testing.assert_allclose(h_ours[:, 0].mean(), h_ref[:, 0].mean(), atol=0.01)
