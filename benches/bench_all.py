@@ -62,10 +62,14 @@ def main():
         if rad is None:
             print(json.dumps({"config": name, "error": "device unavailable"}), flush=True)
             continue
-        engine = (
-            "sweep-static" if "stream_static" in scene["bvh"]
-            else ("sweep-loop" if "stream" in scene["bvh"] else "stack-gather")
-        )
+        if "stream_static" in scene["bvh"]:
+            engine = "sweep-static"
+        elif "stream" in scene["bvh"]:
+            engine = "sweep-loop"
+        elif "dense" in scene["tri"]:
+            engine = "dense-mxu"
+        else:
+            engine = "stack-gather"
         print(json.dumps({
             "config": name,
             "tris": scene_host.num_world_tris,
