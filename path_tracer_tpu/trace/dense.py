@@ -32,7 +32,10 @@ import jax.numpy as jnp
 from path_tracer_tpu.core.constants import EPSILON
 
 # Triangle count below which the dense engine replaces stack traversal.
-DENSE_MAX_TRIS = 8192
+# Generous on purpose: below ~30K triangles the dense engine beats the
+# stack+gather engine on v5e, and it has been stable where the stack engine
+# intermittently faulted the TPU tunnel.
+DENSE_MAX_TRIS = 32768
 CHUNK = 512
 
 
@@ -47,6 +50,8 @@ def pack_dense(tri: dict) -> dict[str, np.ndarray]:
             a = np.concatenate([a, np.full((pad,) + a.shape[1:], fill, np.float32)])
         return a
 
+    from path_tracer_tpu.trace.traversal import pack_tris
+
     return {
         "n0T": padded(tri["n0"]).T.copy(),  # [3, T'] — pad rows give det==0
         "n1T": padded(tri["n1"]).T.copy(),
@@ -54,7 +59,8 @@ def pack_dense(tri: dict) -> dict[str, np.ndarray]:
         "d0": padded(tri["d0"]),
         "d1": padded(tri["d1"]),
         "d2": padded(tri["d2"]),
-        "count": np.int32(t),
+        # row table for the final winner u/v recompute
+        "tri_rows": pack_tris(tri),
     }
 
 
@@ -85,29 +91,45 @@ def _chunk_hits(dense, c0, o, d, t_limit):
 
 @jax.jit
 def dense_closest_hit(dense, origin, direction, t_limit):
-    """Same contract as `traversal.closest_hit`: (tri_idx, t, u, v)."""
-    n = origin.shape[0]
+    """Same contract as `traversal.closest_hit`: (tri_idx, t, u, v).
+
+    The chunk loop is Python-unrolled and chunks are INDEPENDENT (each masks
+    against the caller's ``t_limit``, not a running minimum) so XLA can fuse
+    and overlap them — a ``lax.fori_loop`` carrying t_max serializes every
+    iteration. The winner's barycentrics are recomputed once at the end from
+    its plane rows, avoiding per-chunk ``take_along_axis`` gathers.
+    """
     total = dense["n0T"].shape[1]
     chunks = total // CHUNK
 
-    def body(i, s):
-        best, bu, bv, t_max = s
-        c0 = i * CHUNK
-        ok, t, u, v = _chunk_hits(dense, c0, origin, direction, t_max)
+    t_bests = []
+    j_bests = []
+    for c in range(chunks):
+        c0 = c * CHUNK
+        ok, t, _, _ = _chunk_hits(dense, c0, origin, direction, t_limit)
         t_masked = jnp.where(ok, t, jnp.inf)
-        j = jnp.argmin(t_masked, axis=1)
-        t_best = jnp.take_along_axis(t_masked, j[:, None], axis=1)[:, 0]
-        upd = t_best < t_max
-        take = lambda m: jnp.take_along_axis(m, j[:, None], axis=1)[:, 0]
-        best = jnp.where(upd, c0 + j, best)
-        bu = jnp.where(upd, take(u), bu)
-        bv = jnp.where(upd, take(v), bv)
-        t_max = jnp.where(upd, t_best, t_max)
-        return best, bu, bv, t_max
+        j_bests.append(c0 + jnp.argmin(t_masked, axis=1))
+        t_bests.append(jnp.min(t_masked, axis=1))
+    t_stack = jnp.stack(t_bests)  # [K, N]
+    j_stack = jnp.stack(j_bests)
+    k = jnp.argmin(t_stack, axis=0)
+    t_best = jnp.min(t_stack, axis=0)
+    j_best = jnp.take_along_axis(j_stack, k[None, :], axis=0)[0]
+    hit = jnp.isfinite(t_best)
+    best = jnp.where(hit, j_best, -1)
+    t_max = jnp.where(hit, t_best, t_limit)
 
-    init = (jnp.full(n, -1, jnp.int32), jnp.zeros(n), jnp.zeros(n), t_limit)
-    best, bu, bv, t_max = jax.lax.fori_loop(0, chunks, body, init)
-    return best, t_max, bu, bv
+    # Winner u/v via one gathered Havel-Herout evaluation (values independent
+    # of the t-window; masked on miss lanes).
+    from path_tracer_tpu.trace.traversal import _tri_intersect
+
+    _, _, u, v = _tri_intersect(
+        dense["tri_rows"], jnp.maximum(best, 0), origin, direction,
+        jnp.float32(EPSILON), jnp.where(hit, t_max + 1.0, 1.0),
+    )
+    u = jnp.where(hit, u, 0.0)
+    v = jnp.where(hit, v, 0.0)
+    return best, t_max, u, v
 
 
 @jax.jit
