@@ -67,3 +67,34 @@ def test_uneven_mesh_sizes(setup):
         scene, ndc, org, 3, W, H, max_bounces=4, enable_nee=True, has_lights=True
     )
     np.testing.assert_allclose(np.asarray(rad_sh), np.asarray(rad_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_twolevel_scene_sharded():
+    """Two-level geometry through shard_map tiling."""
+    from path_tracer_tpu.scene import procedural
+    from path_tracer_tpu.scene.materials import Emissive, Lambertian
+    from path_tracer_tpu.scene.model import Model, rigid_transform, rotation_y
+    from path_tracer_tpu.scene.scene import Scene
+
+    light_p, light_n = procedural.cornell_light()
+    walls_p, walls_n = procedural.cornell_walls()
+    sph_p, sph_n = procedural.icosphere((0.0, 250.0, 0.0), 120.0, 1)
+    models = [
+        Model(Emissive((15.0,) * 3), positions=light_p, normals=light_n),
+        Model(Lambertian((0.7,) * 3), positions=walls_p, normals=walls_n),
+        Model(Lambertian((0.2, 0.4, 0.7)),
+              matrices=[rigid_transform(rotation_y(0.5), (0.0, -80.0, 0.0))],
+              positions=sph_p, normals=sph_n),
+    ]
+    scene_host = Scene(models, two_level=True)
+    scene = scene_host.device()
+    cam = scenes.cornell_camera()
+    ndc = jnp.asarray(cam.view_proj_inverse())
+    org = jnp.asarray(cam.origin)
+
+    mesh = make_mesh(4)
+    rad_sh, _ = render_sample_sharded(scene, ndc, org, 0, W, H, mesh, max_bounces=4)
+    rad_ref, _, _, _ = render_sample(
+        scene, ndc, org, 0, W, H, max_bounces=4, enable_nee=True, has_lights=True
+    )
+    np.testing.assert_allclose(np.asarray(rad_sh), np.asarray(rad_ref), rtol=1e-5, atol=1e-6)

@@ -152,3 +152,20 @@ def test_volume_scene_finite():
     rad = np.asarray(rad)
     assert np.isfinite(rad).all() and (rad >= 0).all()
     assert rad.mean() > 0.0
+
+
+def test_render_film_tiling_invariance(cornell):
+    """Tile size must not change the image (lane-keyed RNG)."""
+    scene, cam, scene_host = cornell
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.integrator.wavefront import render_film
+
+    ndc = jnp.asarray(cam.view_proj_inverse())
+    org = jnp.asarray(cam.origin)
+    kw = dict(max_bounces=6, mtypes=scene_host.active_mtypes,
+              any_volumes=scene_host.has_volumes)
+    a, ra = render_film(scene, ndc, org, 0, W, H, 2, tile_lanes=W * H, **kw)
+    b, rb = render_film(scene, ndc, org, 0, W, H, 2, tile_lanes=(W * H) // 4, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(ra), float(rb))
