@@ -29,7 +29,7 @@ def main():
     scene = scene_host.device()
     ndc = jnp.asarray(cam.view_proj_inverse())
     origin = jnp.asarray(cam.origin)
-    spp_batch = 64
+    spp_batch = 128
 
     def step(sample_id):
         rad, rays = render_film(
