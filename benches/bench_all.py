@@ -66,6 +66,8 @@ def main():
             engine = "sweep-static"
         elif "stream" in scene["bvh"]:
             engine = "sweep-loop"
+        elif "dense_pl" in scene["tri"]:
+            engine = "dense-pallas"
         elif "dense" in scene["tri"]:
             engine = "dense-mxu"
         else:

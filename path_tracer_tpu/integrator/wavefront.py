@@ -575,6 +575,7 @@ def render_film(
             "stream_static" not in scene["bvh"]
             and "stream" not in scene["bvh"]
             and "dense" not in scene["tri"]
+            and "dense_pl" not in scene["tri"]
         )
         tile_lanes = TILE_LANES_GATHER if gather_engine else TILE_LANES
     tile = min(tile_lanes, n)

@@ -222,15 +222,24 @@ class Scene:
                 np.asarray(data["light"]["packed"]), self.light["d0"].shape[0],
             )
 
-        # Mid-size scenes without a stream use the dense chunked MXU engine
-        # (trace/dense.py) instead of gather-based stack traversal.
+        # Mid-size scenes without a stream use a dense engine instead of
+        # gather-based stack traversal: the fused Pallas kernel
+        # (trace/dense_pallas.py) on real TPUs, the XLA chunked-MXU engine
+        # (trace/dense.py) elsewhere (tests/CPU).
         from path_tracer_tpu.trace.dense import DENSE_MAX_TRIS, pack_dense
+        from path_tracer_tpu.trace.dense_pallas import DENSE_PL_MAX_TRIS, pack_dense_pl
 
-        if ("stream_static" not in data["bvh"] and "stream" not in data["bvh"]
-                and self.num_world_tris <= DENSE_MAX_TRIS):
-            data["tri"]["dense"] = {
-                k: jnp.asarray(v) for k, v in pack_dense(self.tri).items()
-            }
+        if "stream_static" not in data["bvh"] and "stream" not in data["bvh"]:
+            if (jax.default_backend() == "tpu"
+                    and self.num_world_tris <= DENSE_PL_MAX_TRIS):
+                data["tri"]["dense_pl"] = {
+                    "tab": jnp.asarray(pack_dense_pl(self.tri)),
+                    "tri_rows": data["tri"]["packed"],
+                }
+            elif self.num_world_tris <= DENSE_MAX_TRIS:
+                data["tri"]["dense"] = {
+                    k: jnp.asarray(v) for k, v in pack_dense(self.tri).items()
+                }
 
         if self.two_level:
             # World traversal + shading switch to the shared-BLAS tables; the

@@ -287,6 +287,10 @@ def closest_hit(bvh, tri, origin, direction, t_limit=None):
         from path_tracer_tpu.trace.sweep import sweep_closest_hit
 
         return sweep_closest_hit(bvh["stream"], origin, direction, t_limit)
+    if "dense_pl" in tri:
+        from path_tracer_tpu.trace.dense_pallas import dense_pl_closest_hit
+
+        return dense_pl_closest_hit(tri["dense_pl"], origin, direction, t_limit)
     if "dense" in tri:
         from path_tracer_tpu.trace.dense import dense_closest_hit
 
@@ -377,6 +381,10 @@ def any_hit(bvh, tri, origin, direction, t_limit):
         from path_tracer_tpu.trace.sweep import sweep_any_hit
 
         return sweep_any_hit(bvh["stream"], origin, direction, t_limit)
+    if "dense_pl" in tri:
+        from path_tracer_tpu.trace.dense_pallas import dense_pl_any_hit
+
+        return dense_pl_any_hit(tri["dense_pl"], origin, direction, t_limit)
     if "dense" in tri:
         from path_tracer_tpu.trace.dense import dense_any_hit
 
