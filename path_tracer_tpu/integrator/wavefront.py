@@ -271,6 +271,7 @@ def trace_lanes(
     spp: int = 1,
     mtypes: tuple = bsdf_mod.ALL_MTYPES,
     any_volumes: bool = True,
+    steps_per_iter: int = 1,
 ):
     """Trace ``spp`` path samples per film lane (lane = y*width + x, y
     bottom-up) with PATH REGENERATION: the moment a lane's path terminates it
@@ -337,7 +338,7 @@ def trace_lanes(
     def cond(s):
         return jnp.any(s["alive"])
 
-    def body(s):
+    def step(s):
         o, d, alive, b = s["o"], s["d"], s["alive"], s["b"]
         throughput, radiance = s["throughput"], s["radiance"]
         last_delta, vol_stack = s["last_delta"], s["vol_stack"]
@@ -493,6 +494,25 @@ def trace_lanes(
             s_idx=s_idx, position=position, first_id=first_id, rays=rays,
         )
 
+    def body(s):
+        # MEASURED (v5e via axon, 2026-08-16): every while/fori iteration
+        # whose body touches any loop-invariant tensor operand (scene tables,
+        # baked stream constants, even a device-scalar constant) pays a FLAT
+        # ~240 us flush, independent of how many such operands are read. For
+        # small scenes the bounce math itself is ~80 us, so the loop floor
+        # dominates. Unrolling several bounce steps per while iteration
+        # amortizes the flush; each step is fully masked so semantics are
+        # unchanged (dead lanes no-op, regeneration fires per step).
+        for k in range(steps_per_iter):
+            s = step(s)
+            if k + 1 < steps_per_iter:
+                # Pin float semantics at step boundaries: without this XLA
+                # fuses/reassociates across the unrolled steps (FMA forming
+                # etc.), making results depend on steps_per_iter and breaking
+                # per-sample determinism (checkpoint/resume bit-faithfulness).
+                s = jax.lax.optimization_barrier(s)
+        return s
+
     out = jax.lax.while_loop(cond, body, state)
     return out["accum"], out["position"], out["first_id"], out["rays"]
 
@@ -500,7 +520,7 @@ def trace_lanes(
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "max_bounces", "enable_nee", "has_lights", "spp",
+        "width", "height", "max_bounces", "enable_nee", "has_lights",
         "mtypes", "any_volumes",
     ),
 )
@@ -532,12 +552,13 @@ def render_sample(
     )
 
 
-# Film lanes traced per device dispatch. v5e measurement: 16K-lane waves run
-# ~1.6x faster per ray than full-1M-lane waves — the while-loop carry
-# (~100 B/lane) stays VMEM-resident — and tiles dispatch asynchronously so
-# there is no sync cost between them. (Cornell 1024x1024 sweep: 16K -> 108,
-# 32K -> 100, 64K -> 91, 1M -> 38 Mrays/s at spp 32-64.)
+# Film lanes traced per device dispatch, by engine (v5e measurements).
+# Dense engines: 16K tiles keep the while-loop carry VMEM-resident.
 TILE_LANES = 16384
+# Stream engines after the componentwise-literal rewrite have a light body;
+# 64K tiles amortize per-iteration overheads (Cornell 1024x1024 at K=8:
+# 16K -> 389, 64K -> 425, 128K -> 420 Mrays/s).
+TILE_LANES_STREAM = 65536
 # Gather-based traversal amortizes a ~300us fixed gather cost, so it wants
 # larger waves; 64K is the largest empirically stable size on v5e (the
 # stack engine at >=256K lanes has triggered TPU kernel faults).
@@ -558,6 +579,7 @@ def render_film(
     mtypes: tuple = bsdf_mod.ALL_MTYPES,
     any_volumes: bool = True,
     tile_lanes: int | None = None,
+    steps_per_iter: int | None = None,
 ):
     """Trace ``spp`` samples/pixel over the film in lane tiles.
 
@@ -570,21 +592,38 @@ def render_film(
     wants LARGE tiles to amortize the ~300us fixed gather latency.
     """
     n = width * height
+    stream_engine = "stream_static" in scene["bvh"] or "stream" in scene["bvh"]
     if tile_lanes is None:
-        gather_engine = (
-            "stream_static" not in scene["bvh"]
-            and "stream" not in scene["bvh"]
-            and "dense" not in scene["tri"]
-            and "dense_pl" not in scene["tri"]
-        )
-        tile_lanes = TILE_LANES_GATHER if gather_engine else TILE_LANES
+        if stream_engine:
+            tile_lanes = TILE_LANES_STREAM
+        elif "dense" in scene["tri"] or "dense_pl" in scene["tri"]:
+            tile_lanes = TILE_LANES
+        else:
+            tile_lanes = TILE_LANES_GATHER
+    if steps_per_iter is None:
+        # Default 1: every bounce of every sample is computed by the one
+        # step instance in the loop body, so results are bit-deterministic
+        # under any tiling/sharding/resume split. steps_per_iter=8 batches
+        # bounce steps per while iteration (+10-20% on stream scenes whose
+        # body is dominated by per-iteration overhead) at the cost of that
+        # determinism: XLA compiles each unrolled step instance with its own
+        # FMA choices, so knife-edge triangle tests can round differently
+        # depending on which instance a bounce lands on — still valid Monte
+        # Carlo, but not bit-stable across different sample schedules.
+        steps_per_iter = 1
     tile = min(tile_lanes, n)
     while n % tile:
         tile //= 2
+    # NOTE: ``spp`` is deliberately NOT static — it only feeds the traced
+    # regeneration limit, so one executable serves every spp. That makes
+    # checkpoint/resume bit-faithful for ANY split of the sample range (all
+    # splits run the identical program; different executables may round
+    # knife-edge triangle tests differently via FMA formation).
     jit_trace = jax.jit(
         trace_lanes,
         static_argnames=("width", "height", "max_bounces", "enable_nee",
-                         "has_lights", "spp", "mtypes", "any_volumes"),
+                         "has_lights", "mtypes", "any_volumes",
+                         "steps_per_iter"),
     )
     rads = []
     rays_total = jnp.zeros((), jnp.float32)
@@ -594,7 +633,7 @@ def render_film(
             scene, ndc_to_world, cam_origin, base_sample, lane, width, height,
             max_bounces=max_bounces, enable_nee=enable_nee,
             has_lights=has_lights, spp=spp, mtypes=mtypes,
-            any_volumes=any_volumes,
+            any_volumes=any_volumes, steps_per_iter=steps_per_iter,
         )
         rads.append(rad)
         rays_total = rays_total + jnp.sum(rays)

@@ -188,8 +188,10 @@ class Scene:
         # the fast path on TPU (see trace/sweep.py). Large scenes stay on the
         # stack+gather traversal.
         from path_tracer_tpu.trace.sweep import (
+            FLAT_STREAM_MAX_TRIS,
             UNROLL_MAX_ROWS,
             StaticStream,
+            build_flat_stream,
             build_stream,
         )
 
@@ -202,11 +204,16 @@ class Scene:
         def attach_stream(target, flat, tri_rows, n_tris):
             # Streams only pay off while small: measured on v5e, a ~5K-row
             # loop sweep is slower than stack+gather traversal. Beyond the
-            # unrollable size, stay on the stack engine.
-            est_rows = 2 * flat["c0_idx"].shape[0] + n_tris
-            if est_rows > 2 * UNROLL_MAX_ROWS:
-                return
-            rows = build_stream(flat, tri_rows)
+            # unrollable size, stay on the stack engine. Tiny scenes use the
+            # triangle-only flat stream (no node rows — SIMD masking makes
+            # BVH rows pure overhead; 113 -> 180 Mrays/s on the headline).
+            if n_tris <= FLAT_STREAM_MAX_TRIS:
+                rows = build_flat_stream(tri_rows)
+            else:
+                est_rows = 2 * flat["c0_idx"].shape[0] + n_tris
+                if est_rows > 2 * UNROLL_MAX_ROWS:
+                    return
+                rows = build_stream(flat, tri_rows)
             if rows.shape[0] > UNROLL_MAX_ROWS:
                 return
             if unroll_ok:

@@ -114,6 +114,31 @@ def build_stream(flat: dict, tri_packed: np.ndarray) -> np.ndarray:
     return np.stack(rows)
 
 
+def build_flat_stream(tri_packed: np.ndarray) -> np.ndarray:
+    """Triangle-only stream: brute force over all T triangles, no node rows.
+
+    On a SIMD machine the BVH node rows of `build_stream` save no time — a
+    lane that misses a box is masked, but the row is still processed by every
+    lane — so for small scenes the shortest stream is simply the triangles
+    themselves (~2.8x fewer rows than the BVH serialization). Precision is
+    ``intersect_naive`` (no leaf pre-translation), matching the dense engines.
+    """
+    tri_packed = np.asarray(tri_packed, np.float32)
+    t = tri_packed.shape[0]
+    rows = np.zeros((t, ROW_W), np.float32)
+    rows[:, 0] = 1.0
+    rows[:, 1:4] = np.inf
+    rows[:, 4:7] = -np.inf
+    rows[:, 7] = np.arange(1, t + 1, dtype=np.float32)  # no-op skip
+    rows[:, 8:20] = tri_packed[:, :12]
+    rows[:, 20] = np.arange(t, dtype=np.float32)
+    return rows
+
+
+# Scenes at or below this triangle count use the flat (triangle-only) stream.
+FLAT_STREAM_MAX_TRIS = 256
+
+
 def _row_step(row, state, origin, direction, inv_d, i, any_mode):
     """Process stream row ``i`` (a [ROW_W] vector broadcast to all lanes)."""
     skip_until, t_max, best, best_u, best_v, leaf_t, found = state
@@ -238,53 +263,85 @@ def sweep_any_hit(stream, origin, direction, t_limit):
 
 
 # --------------------- statically unrolled variant ---------------------
+#
+# All row data enters as PYTHON FLOAT LITERALS and all per-lane math is on
+# [N] component arrays. Two measured v5e reasons (2026-08-16 profile of the
+# headline render):
+#   * a ``[N,3] @ [3]`` matvec compiles to multiply+cross-lane-reduce over a
+#     128-lane-padded tile — 4.2 us each at 16K lanes; the triangle tests'
+#     dots were 66% of total device time. Componentwise literal math fuses at
+#     full lane density.
+#   * ``jnp.asarray(row_slice)`` constants become device buffers whose use
+#     inside a loop carries a flat ~240 us/iteration sync; literals don't.
 
-def _node_step_static(bb_min, bb_max, skip_to, is_leaf, state, origin, inv_d, i):
-    """Node row with compile-time box/skip data: slab test only."""
+
+def _node_step_static(box, skip_to, is_leaf, state, rc, i):
+    """Node row with compile-time box/skip data: slab test only.
+    ``box`` = 6 python floats; ``rc`` = per-component ray arrays."""
     skip_until, t_max, best, best_u, best_v, leaf_t, found = state
+    ox, oy, oz, dx, dy, dz, ix, iy, iz = rc
     active = i >= skip_until
     eps = jnp.float32(EPSILON)
-    lim = t_max[:, None]
-    t0 = (bb_min - origin) * inv_d
-    t1 = (bb_max - origin) * inv_d
-    t_small = jnp.minimum(jnp.maximum(t0, eps), jnp.maximum(t1, eps))
-    t_big = jnp.maximum(jnp.minimum(t0, lim), jnp.minimum(t1, lim))
-    t_enter = jnp.max(t_small, axis=-1)
-    box_hit = t_enter <= jnp.min(t_big, axis=-1)
+    bx0, by0, bz0, bx1, by1, bz1 = box
+    tx0 = (bx0 - ox) * ix
+    tx1 = (bx1 - ox) * ix
+    ty0 = (by0 - oy) * iy
+    ty1 = (by1 - oy) * iy
+    tz0 = (bz0 - oz) * iz
+    tz1 = (bz1 - oz) * iz
+    small = lambda a, b: jnp.minimum(jnp.maximum(a, eps), jnp.maximum(b, eps))
+    big = lambda a, b: jnp.maximum(jnp.minimum(a, t_max), jnp.minimum(b, t_max))
+    t_enter = jnp.maximum(jnp.maximum(small(tx0, tx1), small(ty0, ty1)), small(tz0, tz1))
+    t_exit = jnp.minimum(jnp.minimum(big(tx0, tx1), big(ty0, ty1)), big(tz0, tz1))
+    box_hit = t_enter <= t_exit
     skip_until = jnp.where(active & ~box_hit, jnp.int32(skip_to), skip_until)
     if is_leaf:
         leaf_t = jnp.where(active & box_hit, t_enter, leaf_t)
     return (skip_until, t_max, best, best_u, best_v, leaf_t, found)
 
 
-def _tri_step_static(tri_consts, tid, state, origin, direction, i, any_mode):
-    """Triangle row with compile-time plane data (Havel-Herout)."""
+def _tri_step_static(tc, tid, state, rc, i, any_mode, pretranslated):
+    """Triangle row with compile-time plane data (Havel-Herout).
+    ``tc`` = 12 python floats (n0,d0,n1,d1,n2,d2); ``rc`` = ray components.
+    ``pretranslated`` is False for flat (triangle-only) streams, compiling
+    out the leaf_t terms entirely."""
     skip_until, t_max, best, best_u, best_v, leaf_t, found = state
-    n0, d0, n1, d1, n2, d2 = tri_consts
-    active = i >= skip_until
+    n0x, n0y, n0z, d0, n1x, n1y, n1z, d1, n2x, n2y, n2z, d2 = tc
+    ox, oy, oz, dx, dy, dz, _, _, _ = rc
     eps = jnp.float32(EPSILON)
 
-    t_est = leaf_t
-    o = origin + direction * t_est[:, None]
-    tmin_l = eps - t_est
-    tmax_l = t_max - t_est
+    if pretranslated:
+        t_est = leaf_t
+        px_o = ox + dx * t_est
+        py_o = oy + dy * t_est
+        pz_o = oz + dz * t_est
+        tmin_l = eps - t_est
+        tmax_l = t_max - t_est
+    else:
+        px_o, py_o, pz_o = ox, oy, oz
+        tmin_l = eps
+        tmax_l = t_max
 
-    det = direction @ n0
-    td = d0 - o @ n0
+    det = dx * n0x + dy * n0y + dz * n0z
+    td = d0 - (px_o * n0x + py_o * n0y + pz_o * n0z)
     same = lambda a, b: (a >= 0.0) == (b >= 0.0)
     c1 = same(td - det * tmin_l, det * tmax_l - td)
-    p = det[:, None] * o + td[:, None] * direction
-    ud = p @ n1 + det * d1
+    px = det * px_o + td * dx
+    py = det * py_o + td * dy
+    pz = det * pz_o + td * dz
+    ud = px * n1x + py * n1y + pz * n1z + det * d1
     c2 = same(ud, det - ud)
-    vd = p @ n2 + det * d2
+    vd = px * n2x + py * n2y + pz * n2z + det * d2
     c3 = same(vd, det - ud - vd)
-    tri_hit = active & c1 & c2 & c3 & (det != 0.0)
+    tri_hit = c1 & c2 & c3 & (det != 0.0)
+    if pretranslated:
+        tri_hit = tri_hit & (i >= skip_until)
 
     if any_mode:
         found = found | tri_hit
     else:
         inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
-        t_world = td * inv_det + t_est
+        t_world = td * inv_det + (t_est if pretranslated else 0.0)
         t_max = jnp.where(tri_hit, t_world, t_max)
         best = jnp.where(tri_hit, jnp.int32(tid), best)
         best_u = jnp.where(tri_hit, ud * inv_det, best_u)
@@ -293,10 +350,9 @@ def _tri_step_static(tri_consts, tid, state, origin, direction, i, any_mode):
 
 
 def _sweep_static(stream: StaticStream, origin, direction, t_limit, any_mode: bool):
-    """Straight-line traversal with the stream baked in as constants."""
+    """Straight-line traversal with the stream baked in as literals."""
     rows = stream.rows
     n = origin.shape[0]
-    inv_d = 1.0 / direction
     state = (
         jnp.zeros(n, jnp.int32),
         t_limit,
@@ -309,22 +365,25 @@ def _sweep_static(stream: StaticStream, origin, direction, t_limit, any_mode: bo
     s_rows = rows.shape[0]
     skips = rows[:, 7].astype(np.int64)
     types = rows[:, 0]
+    has_nodes = bool((types == 0.0).any())
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+    if has_nodes:
+        rc = (ox, oy, oz, dx, dy, dz, 1.0 / dx, 1.0 / dy, 1.0 / dz)
+    else:
+        rc = (ox, oy, oz, dx, dy, dz, None, None, None)
     for i in range(s_rows):
         if types[i] == 0.0:
             # leaf iff the next row is a triangle row
             is_leaf = i + 1 < s_rows and types[i + 1] == 1.0
             state = _node_step_static(
-                jnp.asarray(rows[i, 1:4]), jnp.asarray(rows[i, 4:7]),
-                int(skips[i]), is_leaf, state, origin, inv_d, i,
+                tuple(float(v) for v in rows[i, 1:7]),
+                int(skips[i]), is_leaf, state, rc, i,
             )
         else:
-            tri_consts = (
-                jnp.asarray(rows[i, 8:11]), float(rows[i, 11]),
-                jnp.asarray(rows[i, 12:15]), float(rows[i, 15]),
-                jnp.asarray(rows[i, 16:19]), float(rows[i, 19]),
-            )
+            tc = tuple(float(v) for v in rows[i, 8:20])
             tid = int(rows[i, 20])
-            state = _tri_step_static(tri_consts, tid, state, origin, direction, i, any_mode)
+            state = _tri_step_static(tc, tid, state, rc, i, any_mode, has_nodes)
     return state
 
 

