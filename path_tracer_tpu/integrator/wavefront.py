@@ -126,9 +126,11 @@ def _hit_material_model(scene, tri_idx, inst):
         irows = gather_rows(scene["twolevel"]["inst_rows"], jnp.maximum(inst, 0))
         model_id = irows[:, 25].astype(jnp.int32)
         return model_id, model_id
-    mat_idx = jnp.take(scene["tri"]["mat"], jnp.maximum(tri_idx, 0))
+    # Baked mode: one material per model and model id == material id by
+    # construction (scene.py builds world_mat and world_model identically),
+    # so a single row gather serves both — no extra jnp.take.
     model_id = gather_rows(scene["tri"]["model_rows"], jnp.maximum(tri_idx, 0))[:, 0].astype(jnp.int32)
-    return mat_idx, model_id
+    return model_id, model_id
 
 
 def _volume_gather(mat: dict, ids: jnp.ndarray):

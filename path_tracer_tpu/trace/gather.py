@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 
 # Above this many rows, one-hot MAC cost exceeds the native gather.
-ONE_HOT_MAX_ROWS = 512
+# Measured on v5e (2026-08-16): a 16K-lane jnp.take costs ~600 us regardless
+# of table height (latency-bound scalar fetches), while the one-hot matmul
+# for a [16K, M] @ [M, 16] gather runs at MXU speed (~280 us at M=32K, ~25 us
+# at M=2.5K). Crossover is ~M=32K; the dense-engine scene ceiling
+# (DENSE_PL_MAX_TRIS=64K) stays above it only for the rarely-hit winner
+# recompute, which is still within 2x of take there.
+ONE_HOT_MAX_ROWS = 32768
 
 
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
