@@ -37,11 +37,6 @@ def main():
             max_bounces=64, enable_nee=True, has_lights=True,
             mtypes=scene_host.active_mtypes,
             any_volumes=scene_host.has_volumes,
-            # Throughput mode: batch 8 bounce steps per while iteration
-            # (+~20% on stream scenes; MC-valid, but knife-edge rounding may
-            # depend on the sample schedule — see render_film docs). The
-            # deterministic default (steps_per_iter=1) measures ~354 Mrays/s.
-            steps_per_iter=8,
         )
         return rad, rays
 

@@ -111,4 +111,7 @@ def ray_directions(ndc_to_world: jnp.ndarray, origin: jnp.ndarray, s: jnp.ndarra
     q = x[..., None] * m[:, 0] + y[..., None] * m[:, 1] + m[:, 3]
     point = q[..., :3] / q[..., 3:4]
     d = point - origin
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # componentwise norm (an axis reduce compiles to a padded cross-lane
+    # reduction on TPU — see core.vecmath.dot)
+    n = jnp.sqrt(d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1] + d[..., 2] * d[..., 2])
+    return d / n[..., None]

@@ -31,22 +31,42 @@ def generate_onb(normal: jnp.ndarray) -> jnp.ndarray:
 
 def generate_onb_ggx(v: jnp.ndarray) -> jnp.ndarray:
     """Basis used by the GGX VNDF sampling routine (``onb.rs:9-27``), with the
-    z-up singularity guard at ``v.z > 0.99999``. Columns are (t1, t2, v)."""
-    z_axis = jnp.zeros_like(v).at[..., 2].set(1.0)
-    t1 = jnp.cross(v, z_axis)
-    t1_len = jnp.sqrt(jnp.sum(t1 * t1, axis=-1, keepdims=True))
-    singular = v[..., 2:3] > 0.99999
-    t1 = jnp.where(singular, jnp.zeros_like(v).at[..., 0].set(1.0), t1 / jnp.maximum(t1_len, 1e-20))
-    t2 = jnp.cross(t1, v)
-    t2 = jnp.where(singular, jnp.zeros_like(v).at[..., 1].set(-1.0), t2)
+    z-up singularity guard at ``v.z > 0.99999``. Columns are (t1, t2, v).
+
+    The crosses with the fixed z axis are expanded analytically:
+    ``v x z = (vy, -vx, 0)`` — no generic jnp.cross, no axis reductions."""
+    vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+    t1_len = jnp.sqrt(vx * vx + vy * vy)
+    inv = 1.0 / jnp.maximum(t1_len, 1e-20)
+    singular = vz > 0.99999
+    t1x = jnp.where(singular, 1.0, vy * inv)
+    t1y = jnp.where(singular, 0.0, -vx * inv)
+    # t2 = t1 x v with t1z == 0
+    t2x = jnp.where(singular, 0.0, t1y * vz)
+    t2y = jnp.where(singular, -1.0, -t1x * vz)
+    t2z = jnp.where(singular, 0.0, t1x * vy - t1y * vx)
+    t1 = jnp.stack([t1x, t1y, jnp.zeros_like(t1x)], axis=-1)
+    t2 = jnp.stack([t2x, t2y, t2z], axis=-1)
     return jnp.stack([t1, t2, v], axis=-1)
 
 
 def onb_apply(onb: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """``onb @ v``: tangent -> world. ``onb``: ``[..., 3, 3]``, ``v``: ``[..., 3]``."""
-    return jnp.einsum("...ij,...j->...i", onb, v)
+    """``onb @ v``: tangent -> world. ``onb``: ``[..., 3, 3]``, ``v``: ``[..., 3]``.
+
+    Expanded as a sum of scaled columns rather than an einsum: a per-lane
+    3x3 contraction compiles to padded cross-lane reduces on TPU (see
+    vecmath.dot)."""
+    return (
+        onb[..., :, 0] * v[..., 0:1]
+        + onb[..., :, 1] * v[..., 1:2]
+        + onb[..., :, 2] * v[..., 2:3]
+    )
 
 
 def onb_apply_transpose(onb: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """``onb^T @ v``: world -> tangent."""
-    return jnp.einsum("...ji,...j->...i", onb, v)
+    """``onb^T @ v``: world -> tangent (rows dotted with v, expanded)."""
+    return (
+        onb[..., 0, :] * v[..., 0:1]
+        + onb[..., 1, :] * v[..., 1:2]
+        + onb[..., 2, :] * v[..., 2:3]
+    )

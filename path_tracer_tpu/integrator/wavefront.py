@@ -69,16 +69,16 @@ def mis_heuristic(f: jnp.ndarray, g: jnp.ndarray, power: int = HEURISTIC_POWER) 
 def _interp_normal(normals_flat: jnp.ndarray, idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     """Barycentric shading normal, normalized (primitive.rs:57-63).
     ``normals_flat``: [T, 9] single-gather table."""
-    tri_n = gather_rows(normals_flat, jnp.maximum(idx, 0)).reshape(-1, 3, 3)
+    rows = gather_rows(normals_flat, jnp.maximum(idx, 0))
     w = 1.0 - u - v
-    n = tri_n[:, 0] * w[:, None] + tri_n[:, 1] * u[:, None] + tri_n[:, 2] * v[:, None]
+    n = rows[:, 0:3] * w[:, None] + rows[:, 3:6] * u[:, None] + rows[:, 6:9] * v[:, None]
     return normalize(n, eps=1e-20)
 
 
 def _interp_position(positions_flat: jnp.ndarray, idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    tri_p = gather_rows(positions_flat, jnp.maximum(idx, 0)).reshape(-1, 3, 3)
+    rows = gather_rows(positions_flat, jnp.maximum(idx, 0))
     w = 1.0 - u - v
-    return tri_p[:, 0] * w[:, None] + tri_p[:, 1] * u[:, None] + tri_p[:, 2] * v[:, None]
+    return rows[:, 0:3] * w[:, None] + rows[:, 3:6] * u[:, None] + rows[:, 6:9] * v[:, None]
 
 
 def _world_closest(scene, o, d, lim):
@@ -193,7 +193,7 @@ def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m
     light_n = _interp_normal(light["normals_flat"], li, pu, pv)
 
     d_vec = point - o_s
-    dist_sq = jnp.sum(d_vec * d_vec, axis=-1)
+    dist_sq = dot(d_vec, d_vec)
     dist = jnp.sqrt(dist_sq)
     wo = d_vec / jnp.maximum(dist[:, None], 1e-20)
 
@@ -253,8 +253,10 @@ def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, fro
 def _sample_guard(rad):
     """Per-sample guard (integrator.rs:272-280): non-finite -> black, then
     firefly clamp of ||L|| to 100."""
-    finite = jnp.all(jnp.isfinite(rad), axis=-1)
-    norm = jnp.sqrt(jnp.sum(rad * rad, axis=-1))
+    finite = (
+        jnp.isfinite(rad[:, 0]) & jnp.isfinite(rad[:, 1]) & jnp.isfinite(rad[:, 2])
+    )
+    norm = jnp.sqrt(dot(rad, rad))
     scale = jnp.where(norm > FIREFLY_CLAMP, FIREFLY_CLAMP / jnp.maximum(norm, 1e-20), 1.0)
     return jnp.where(finite[:, None], rad * scale[:, None], 0.0)
 
