@@ -111,8 +111,16 @@ def _hit_normal(scene, idx, u, v, direction, inst):
         tl = scene["twolevel"]
         n_obj = _interp_normal(tl["normals_flat"], idx, u, v)
         irows = gather_rows(tl["inst_rows"], jnp.maximum(inst, 0))
-        rot = irows[:, 0:9].reshape(-1, 3, 3)
-        n = jnp.einsum("nij,nj->ni", rot, n_obj)
+        # row-major rotation applied row-by-row (einsum = padded reduces on TPU)
+        nx, ny, nz = n_obj[:, 0], n_obj[:, 1], n_obj[:, 2]
+        n = jnp.stack(
+            [
+                irows[:, 0] * nx + irows[:, 1] * ny + irows[:, 2] * nz,
+                irows[:, 3] * nx + irows[:, 4] * ny + irows[:, 5] * nz,
+                irows[:, 6] * nx + irows[:, 7] * ny + irows[:, 8] * nz,
+            ],
+            axis=-1,
+        )
     else:
         n = _interp_normal(scene["tri"]["normals_flat"], idx, u, v)
     front = dot(direction, n) < 0.0

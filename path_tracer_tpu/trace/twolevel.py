@@ -166,11 +166,25 @@ def closest_hit_twolevel(tlas_packed, blas_packed, inst_rows, tri_packed, origin
         start, _count = _decode_leaf(jnp.where(tlas_leaf, s["cur"], -2))
         inst_id = start
         irows = gather_rows(inst_rows, jnp.where(tlas_leaf, inst_id, 0))
-        inv_rot = irows[:, 9:18].reshape(-1, 3, 3)
         inv_tr = irows[:, 21:24]
         root = irows[:, 24].astype(jnp.int32)
-        o_obj = jnp.einsum("nij,nj->ni", inv_rot, origin) + inv_tr
-        d_obj = jnp.einsum("nij,nj->ni", inv_rot, direction)
+
+        # rigid transform expanded row-by-row (irows 9:18 is the row-major
+        # inverse rotation) — a per-lane 3x3 einsum compiles to padded
+        # cross-lane reduces on TPU (see vecmath.dot)
+        def rot_apply(v):
+            vx, vy, vz = v[:, 0], v[:, 1], v[:, 2]
+            return jnp.stack(
+                [
+                    irows[:, 9] * vx + irows[:, 10] * vy + irows[:, 11] * vz,
+                    irows[:, 12] * vx + irows[:, 13] * vy + irows[:, 14] * vz,
+                    irows[:, 15] * vx + irows[:, 16] * vy + irows[:, 17] * vz,
+                ],
+                axis=-1,
+            )
+
+        o_obj = rot_apply(origin) + inv_tr
+        d_obj = rot_apply(direction)
 
         enter = tlas_leaf
         s["phase"] = jnp.where(enter, PH_BLAS, s["phase"])
