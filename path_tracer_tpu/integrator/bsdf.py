@@ -90,11 +90,23 @@ def _ggx_half_vector(a, ray_dir, normal, u1, u2):
     return onb_apply(onb_a, normalize(h_t * stretch))
 
 
-def _ggx_d(a, h):
-    """NDF with the reference's sin/cos^2 quirk (material.rs:188-201)."""
+def _ggx_d(a, h, consistent: bool = False):
+    """NDF. The reference's ``d()`` computes ``tan_sq`` as
+    ``sqrt(1-cos^2)/cos^2`` — that is sin(theta)/cos^2(theta), NOT
+    tan^2(theta) (material.rs:196 misses the square on the sine). The result
+    is a non-normalized lobe much narrower than true GGX, while the Heitz
+    VNDF sampling routine (which never calls d()) still draws from TRUE GGX —
+    so the reference's bsdf-sampled and light-sampled estimators converge to
+    different images. We reproduce the quirk by default for parity;
+    ``consistent=True`` restores the standard ``tan^2`` (used with the VNDF
+    pdf by benches/quality.py to demonstrate the gap closes)."""
     hz = h[..., 2]
     cos_sq = hz * hz
-    tan_sq = jnp.sqrt(jnp.maximum(1.0 - cos_sq, 0.0)) / jnp.maximum(cos_sq, 1e-20)
+    sin_sq = jnp.maximum(1.0 - cos_sq, 0.0)
+    if consistent:
+        tan_sq = sin_sq / jnp.maximum(cos_sq, 1e-20)
+    else:
+        tan_sq = jnp.sqrt(sin_sq) / jnp.maximum(cos_sq, 1e-20)
     x = a * a + tan_sq
     d = a * a / (PI * cos_sq * cos_sq * x * x)
     return jnp.where(hz <= 0.0, 0.0, d)
@@ -176,12 +188,24 @@ def sample_bsdf(m: dict, ray_dir, normal, front_facing, u4, mtypes=ALL_MTYPES):
     return out
 
 
-def eval_bsdf_pdf(m: dict, wi_viewer, wo_scatter, normal, front_facing, mtypes=ALL_MTYPES):
+def eval_bsdf_pdf(m: dict, wi_viewer, wo_scatter, normal, front_facing, mtypes=ALL_MTYPES,
+                  consistent_ggx: bool = False):
     """``get_bsdf_pdf(incoming=wi_viewer, outgoing=wo_scatter)`` for every lane.
 
     Returns ``(bsdf [N,3], pdf [N])``. Invalid combinations yield pdf<=0 and
     are culled by the integrator's ``pdf < MIN_PDF`` check (integrator.rs:243).
     ``mtypes`` (static) limits which models are compiled in.
+
+    ``consistent_ggx`` (static): the reference's GGX estimator is doubly
+    inconsistent with its own sampler — ``d()`` computes a non-GGX lobe
+    (sin instead of tan^2, material.rs:196; see ``_ggx_d``) and the pdf is
+    the plain-NDF density ``D * h_z * jac`` rather than the VNDF density the
+    Heitz routine actually samples (material.rs:248-284 vs :423,:438). The
+    default reproduces both quirks for parity. ``consistent_ggx=True``
+    restores standard GGX D and the exact VNDF pdf
+    (``x G1(view)|view.h| / (|view_z| h_z)``) — a self-consistent unbiased
+    estimator, used by benches/quality.py to demonstrate that the GGX
+    scenes' estimator gap is the reference's own.
     """
     ggx = MTYPE_GGX_REFLECTIVE in mtypes or MTYPE_GGX_TRANSMISSIVE in mtypes
 
@@ -217,7 +241,7 @@ def eval_bsdf_pdf(m: dict, wi_viewer, wo_scatter, normal, front_facing, mtypes=A
 
         i_dot_h = dot(wi, h)
         o_dot_h = dot(wo, h)
-        d = _ggx_d(a, h)
+        d = _ggx_d(a, h, consistent_ggx)
 
         # F and G per sub-model (material.rs:384-398)
         f_refl_model = jnp.ones_like(i_dot_h)
@@ -259,6 +283,13 @@ def eval_bsdf_pdf(m: dict, wi_viewer, wo_scatter, normal, front_facing, mtypes=A
         refl_model_invalid = transmitted & (m["mtype"] == MTYPE_GGX_REFLECTIVE)
         ggx_bsdf = jnp.where(refl_model_invalid[..., None], 0.0, ggx_bsdf)
         ggx_pdf = jnp.where(refl_model_invalid, 0.0, ggx_pdf)
+        if consistent_ggx:
+            # NDF pdf -> exact VNDF density: x G1(view)|view.h| / (|view_z| h_z)
+            corr = (
+                _ggx_g1(a, wo, h) * jnp.abs(o_dot_h)
+                / jnp.maximum(jnp.abs(wo[..., 2]) * jnp.abs(h[..., 2]), 1e-20)
+            )
+            ggx_pdf = ggx_pdf * corr
 
     if MTYPE_DIELECTRIC in mtypes:
         # Dielectric (material.rs:511-527), with the reference's cosine quirk

@@ -177,7 +177,7 @@ def _stack_remove(stack: jnp.ndarray, mat_id: jnp.ndarray, enable: jnp.ndarray) 
     return jnp.where(match, -1, stack)
 
 
-def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m_lane, mask, mtypes):
+def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m_lane, mask, mtypes, consistent_ggx=False):
     """Explicit light-sample half of NEE (integrator.rs:25-74). ``mask``
     zeroes the shadow-ray extent for lanes not doing NEE so they exit the
     traversal loop immediately."""
@@ -210,7 +210,7 @@ def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m
     unoccluded = ~_world_any(scene, o_s, wo, shadow_limit)
     visible = facing & unoccluded
 
-    bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front, mtypes)
+    bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front, mtypes, consistent_ggx)
     sample_pdf = pick_pdf / jnp.maximum(area, 1e-20)
     cosine = jnp.abs(dot(wo, light_n))
     light_pdf = sample_pdf * dist_sq / jnp.maximum(cosine, 1e-20)
@@ -220,7 +220,7 @@ def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m
     return jnp.where(visible[:, None], contrib, 0.0)
 
 
-def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, front, m_lane, mask, mtypes):
+def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, front, m_lane, mask, mtypes, consistent_ggx=False):
     """BSDF-sample half of NEE with the lights-BVH pretest
     (integrator.rs:77-130)."""
     light = scene["light"]
@@ -238,7 +238,7 @@ def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, fro
     shadow_limit = jnp.where(live & light_found, lt * (1.0 - EPSILON), 0.0)
     unoccluded = ~_world_any(scene, o_s, wo, shadow_limit)
 
-    bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front, mtypes)
+    bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front, mtypes, consistent_ggx)
     valid_pdf = bsdf_pdf > MIN_PDF
 
     lrow = gather_rows(light["rows"], jnp.maximum(li, 0))
@@ -284,6 +284,7 @@ def trace_lanes(
     mtypes: tuple = bsdf_mod.ALL_MTYPES,
     any_volumes: bool = True,
     steps_per_iter: int = 1,
+    consistent_ggx: bool = False,
 ):
     """Trace ``spp`` path samples per film lane (lane = y*width + x, y
     bottom-up) with PATH REGENERATION: the moment a lane's path terminates it
@@ -452,9 +453,11 @@ def trace_lanes(
         if nee:
             nee_on = surf & ~is_emissive & ~m_lane["is_delta"]
             direct = _direct_explicit(
-                scene, lane, sample_id, b, o_surf, wi_viewer, normal, front, m_lane, nee_on, mtypes
+                scene, lane, sample_id, b, o_surf, wi_viewer, normal, front,
+                m_lane, nee_on, mtypes, consistent_ggx,
             ) + _direct_bsdf(
-                scene, lane, sample_id, b, o_surf, d, wi_viewer, normal, front, m_lane, nee_on, mtypes
+                scene, lane, sample_id, b, o_surf, d, wi_viewer, normal, front,
+                m_lane, nee_on, mtypes, consistent_ggx,
             )
             radiance = jnp.where(nee_on[:, None], radiance + throughput * direct, radiance)
 
@@ -465,7 +468,7 @@ def trace_lanes(
         # BSDF scatter + path weight (integrator.rs:236-251)
         u_sc = uniform4(lane, sample_id, b, _S_SCATTER)
         new_dir = bsdf_mod.sample_bsdf(m_lane, d, normal, front, u_sc, mtypes)
-        bsdf_v, pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, new_dir, normal, front, mtypes)
+        bsdf_v, pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, new_dir, normal, front, mtypes, consistent_ggx)
         invalid_pdf = pdf < MIN_PDF
         weakening = bsdf_mod.get_weakening(m_lane, new_dir, normal)
         scatter_w = weakening[:, None] * bsdf_v / pdf[:, None]
@@ -592,6 +595,7 @@ def render_film(
     any_volumes: bool = True,
     tile_lanes: int | None = None,
     steps_per_iter: int | None = None,
+    consistent_ggx: bool = False,
 ):
     """Trace ``spp`` samples/pixel over the film in lane tiles.
 
@@ -635,7 +639,7 @@ def render_film(
         trace_lanes,
         static_argnames=("width", "height", "max_bounces", "enable_nee",
                          "has_lights", "mtypes", "any_volumes",
-                         "steps_per_iter"),
+                         "steps_per_iter", "consistent_ggx"),
     )
     rads = []
     rays_total = jnp.zeros((), jnp.float32)
@@ -646,6 +650,7 @@ def render_film(
             max_bounces=max_bounces, enable_nee=enable_nee,
             has_lights=has_lights, spp=spp, mtypes=mtypes,
             any_volumes=any_volumes, steps_per_iter=steps_per_iter,
+            consistent_ggx=consistent_ggx,
         )
         rads.append(rad)
         rays_total = rays_total + jnp.sum(rays)

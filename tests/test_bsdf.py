@@ -271,3 +271,52 @@ def test_ggx_half_vector_matches_independent_vndf_sampler():
     # azimuthal means around the view plane agree
     assert abs(h_ours[:, 1].mean()) < 0.01 and abs(h_ref[:, 1].mean()) < 0.01
     np.testing.assert_allclose(h_ours[:, 0].mean(), h_ref[:, 0].mean(), atol=0.01)
+
+
+def test_ggx_consistent_mode_is_self_consistent():
+    """consistent_ggx=True (standard tan^2 D + exact VNDF pdf) must make the
+    sampler estimate of the directional albedo agree with an independent
+    uniform-hemisphere estimate — the property the reference's quirky
+    estimator lacks (see benches/quality.py caveat). In the default
+    (reference-faithful) mode the two disagree by >10x."""
+    import jax
+
+    from path_tracer_tpu.scene.materials import GGXMetal, pack_material_rows
+
+    n = 1 << 16
+    mat = pack_materials([GGXMetal((1.0, 1.0, 1.0), 0.3)])
+    mat_d = {k: jnp.asarray(v) for k, v in mat.items()}
+    mat_d["rows"] = jnp.asarray(pack_material_rows(mat))
+    m = bsdf_mod.gather_mat(mat_d, jnp.zeros(n, jnp.int32))
+    normal = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+    front = jnp.ones(n, bool)
+    cos_view = 0.5
+    sv = float(np.sqrt(1 - cos_view**2))
+    d = jnp.tile(jnp.asarray([[sv, 0.0, -cos_view]], jnp.float32), (n, 1))
+    wi_viewer = -d
+
+    key = jax.random.PRNGKey(0)
+    u1, u2 = jax.random.uniform(key, (2, n))
+    z = u1
+    r = jnp.sqrt(jnp.maximum(1 - z * z, 0))
+    phi = 2 * jnp.pi * u2
+    wo_u = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
+
+    u4 = uniform4(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(7), jnp.uint32(0), jnp.uint32(3))
+    wo_s = bsdf_mod.sample_bsdf(m, d, normal, front, u4)
+    cos_s = jnp.maximum(wo_s[:, 2], 0.0)
+
+    def albedos(consistent):
+        f_u, _ = bsdf_mod.eval_bsdf_pdf(m, wi_viewer, wo_u, normal, front, consistent_ggx=consistent)
+        rho_uniform = float(jnp.mean(f_u[:, 0] * z) * 2 * jnp.pi)
+        f_s, pdf_s = bsdf_mod.eval_bsdf_pdf(m, wi_viewer, wo_s, normal, front, consistent_ggx=consistent)
+        ok = pdf_s > 1e-8
+        rho_sampler = float(jnp.mean(jnp.where(ok, f_s[:, 0] * cos_s / jnp.maximum(pdf_s, 1e-20), 0.0)))
+        return rho_uniform, rho_sampler
+
+    rho_u_c, rho_s_c = albedos(True)
+    assert abs(rho_u_c - rho_s_c) / rho_s_c < 0.15, (rho_u_c, rho_s_c)
+    assert 0.7 < rho_s_c < 1.05, rho_s_c
+
+    rho_u_q, rho_s_q = albedos(False)  # reference-faithful: wildly inconsistent
+    assert rho_s_q / max(rho_u_q, 1e-9) > 5.0, (rho_u_q, rho_s_q)
