@@ -83,14 +83,24 @@ def _interp_position(positions_flat: jnp.ndarray, idx: jnp.ndarray, u: jnp.ndarr
 
 def _world_closest(scene, o, d, lim):
     """World closest-hit via the scene's traversal mode. Returns
-    (tri_idx, t, u, v, inst_idx); inst is -1 in baked mode."""
+    (tri_idx, t, u, v, inst_idx, shade); inst is -1 in baked mode. ``shade``
+    is None except on the fused dense-Pallas engine, where the kernel's
+    epilogue already fetched the winner's shading normal and model id
+    (no XLA-side per-triangle gathers needed)."""
     if "twolevel" in scene:
         tl = scene["twolevel"]
-        return closest_hit_twolevel(
+        out = closest_hit_twolevel(
             tl["tlas_packed"], tl["blas_packed"], tl["inst_rows"], tl["tri_packed"], o, d, lim
         )
-    ti, t, u, v = closest_hit(scene["bvh"], scene["tri"], o, d, lim)
-    return ti, t, u, v, jnp.full_like(ti, -1)
+        return (*out, None)
+    tri = scene["tri"]
+    if "dense_pl" in tri and "aux" in tri["dense_pl"]:
+        from path_tracer_tpu.trace.dense_pallas import dense_pl_closest_hit_shade
+
+        ti, t, u, v, n_raw, model = dense_pl_closest_hit_shade(tri["dense_pl"], o, d, lim)
+        return ti, t, u, v, jnp.full_like(ti, -1), {"n_raw": n_raw, "model": model}
+    ti, t, u, v = closest_hit(scene["bvh"], tri, o, d, lim)
+    return ti, t, u, v, jnp.full_like(ti, -1), None
 
 
 def _world_any(scene, o, d, lim):
@@ -102,11 +112,16 @@ def _world_any(scene, o, d, lim):
     return any_hit(scene["bvh"], scene["tri"], o, d, lim)
 
 
-def _hit_normal(scene, idx, u, v, direction, inst):
+def _hit_normal(scene, idx, u, v, direction, inst, shade=None):
     """Shading normal flipped against the ray + front_facing flag
     (primitive.rs:160-170). In two-level mode normals interpolate in object
     space and rotate by the instance matrix afterwards — the reference's
-    deferred normal transform (tlas.rs:103-109)."""
+    deferred normal transform (tlas.rs:103-109). With a fused-engine
+    ``shade`` dict the interpolation already happened in-kernel."""
+    if shade is not None:
+        n = normalize(shade["n_raw"], eps=1e-20)
+        front = dot(direction, n) < 0.0
+        return jnp.where(front[:, None], n, -n), front
     if "twolevel" in scene:
         tl = scene["twolevel"]
         n_obj = _interp_normal(tl["normals_flat"], idx, u, v)
@@ -127,9 +142,12 @@ def _hit_normal(scene, idx, u, v, direction, inst):
     return jnp.where(front[:, None], n, -n), front
 
 
-def _hit_material_model(scene, tri_idx, inst):
+def _hit_material_model(scene, tri_idx, inst, shade=None):
     """(material id, model id) for hits, per traversal mode. Materials are
     per model in both modes (model.rs: one material per Model)."""
+    if shade is not None:
+        model_id = jnp.maximum(shade["model"], 0)
+        return model_id, model_id
     if "twolevel" in scene:
         irows = gather_rows(scene["twolevel"]["inst_rows"], jnp.maximum(inst, 0))
         model_id = irows[:, 25].astype(jnp.int32)
@@ -207,8 +225,6 @@ def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m
 
     facing = dot(wo, normal) > 0.0
     shadow_limit = jnp.where(mask & facing, (1.0 - EPSILON) * dist, 0.0)
-    unoccluded = ~_world_any(scene, o_s, wo, shadow_limit)
-    visible = facing & unoccluded
 
     bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front, mtypes, consistent_ggx)
     sample_pdf = pick_pdf / jnp.maximum(area, 1e-20)
@@ -217,7 +233,10 @@ def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m
     weight = mis_heuristic(light_pdf, bsdf_pdf)
     weakening = bsdf_mod.get_weakening(m_lane, wo, normal)
     contrib = emitted * (weight * weakening / jnp.maximum(light_pdf, 1e-20))[:, None] * bsdf_v
-    return jnp.where(visible[:, None], contrib, 0.0)
+    contrib = jnp.where(facing[:, None], contrib, 0.0)
+    # caller batches the shadow any-hit with the BSDF half's (one kernel
+    # launch for both); contribution applies iff the shadow ray is unoccluded
+    return wo, shadow_limit, contrib
 
 
 def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, front, m_lane, mask, mtypes, consistent_ggx=False):
@@ -236,7 +255,6 @@ def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, fro
     light_found = li >= 0
     # Full shadow test at (1-EPS) * light distance (integrator.rs:103)
     shadow_limit = jnp.where(live & light_found, lt * (1.0 - EPSILON), 0.0)
-    unoccluded = ~_world_any(scene, o_s, wo, shadow_limit)
 
     bsdf_v, bsdf_pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, wo, normal, front, mtypes, consistent_ggx)
     valid_pdf = bsdf_pdf > MIN_PDF
@@ -254,8 +272,8 @@ def _direct_bsdf(scene, lane, sample_id, b, o_s, ray_dir, wi_viewer, normal, fro
     weakening = bsdf_mod.get_weakening(m_lane, wo, normal)
     contrib = emitted * (weight * weakening / jnp.maximum(bsdf_pdf, 1e-20))[:, None] * bsdf_v
 
-    ok = facing & light_found & unoccluded & valid_pdf
-    return jnp.where(ok[:, None], contrib, 0.0)
+    ok = facing & light_found & valid_pdf
+    return wo, shadow_limit, jnp.where(ok[:, None], contrib, 0.0)
 
 
 def _sample_guard(rad):
@@ -285,6 +303,7 @@ def trace_lanes(
     any_volumes: bool = True,
     steps_per_iter: int = 1,
     consistent_ggx: bool = False,
+    pool: bool = False,
 ):
     """Trace ``spp`` path samples per film lane (lane = y*width + x, y
     bottom-up) with PATH REGENERATION: the moment a lane's path terminates it
@@ -298,6 +317,21 @@ def trace_lanes(
     RNG draw is keyed on (lane id, sample, bounce, site) (SURVEY.md §7 hard
     part 6).
 
+    ``pool=True`` switches per-lane regeneration to a GLOBAL WORK QUEUE over
+    the tile's (pixel, sample) grid: a lane whose path dies pulls the next
+    undone work item (sample-major) instead of being pinned to one pixel.
+    With pinned lanes, total iterations = max over lanes of that lane's total
+    bounce count — path-length variance leaves the wave ~50-80% idle on the
+    straggler tail (measured: mesh_scene at 16 spp averaged ~8K live of 16K
+    lanes). Pooling keeps the wave full until the queue drains. Per-sample
+    radiance values are bit-identical either way (RNG keys don't change);
+    only the per-pixel ADD ORDER of samples differs, so pooled film sums can
+    differ from pinned ones by float reassociation (~1 ulp) — pooling is
+    therefore opt-in: benches and the CLI use it; sharding/interactive tests
+    keep the pinned mode's exact tiling invariance. Requires contiguous
+    ``lane`` ids (lane[i] = lane[0] + i) and returns zero position/first_id
+    buffers (the TAA path renders pinned at 1 spp anyway).
+
     Returns ``(radiance [n,3], position [n,4], first_id [n] uint32,
     rays_cast [n] float32)``. ``radiance`` is the SUM over the lane's ``spp``
     samples, each individually NaN-guarded and firefly-clamped like the
@@ -306,16 +340,18 @@ def trace_lanes(
     traversal query issued — the Mrays/s numerator.
     """
     n = lane.shape[0]
-    x = (lane % width).astype(jnp.float32)
-    y = (lane // width).astype(jnp.float32)
+    lane0 = lane[0]
 
-    # Sub-pixel jitter: Owen-scrambled Sobol indexed by sample, seeded per
-    # pixel (constant across samples -> a true scrambled sequence per pixel).
-    pix_seed, _, _, _ = pcg4d(
-        lane, jnp.full_like(lane, 0x9E3779B9), jnp.full_like(lane, 0x85EBCA6B), jnp.full_like(lane, _S_CAMERA)
-    )
-
-    def camera_rays(s_idx):
+    def camera_rays(s_idx, ln):
+        # Sub-pixel jitter: Owen-scrambled Sobol indexed by sample, seeded
+        # per pixel (constant across samples -> a true scrambled sequence
+        # per pixel).
+        pix_seed, _, _, _ = pcg4d(
+            ln, jnp.full_like(ln, 0x9E3779B9), jnp.full_like(ln, 0x85EBCA6B),
+            jnp.full_like(ln, _S_CAMERA),
+        )
+        x = (ln % width).astype(jnp.float32)
+        y = (ln // width).astype(jnp.float32)
         offset = sobol.get_ss_sobol(s_idx, pix_seed) - 0.5
         u = (x + offset[:, 0]) / width
         v = (y + offset[:, 1]) / height
@@ -325,8 +361,9 @@ def trace_lanes(
 
     base = jnp.asarray(sample_id, jnp.uint32)
     limit = base + jnp.uint32(spp)
+    total_work = jnp.uint32(n) * jnp.uint32(spp)  # pool mode queue length
     s_idx0 = jnp.full(n, base, jnp.uint32)
-    o, d = camera_rays(s_idx0)
+    o, d = camera_rays(s_idx0, lane)
 
     nee = enable_nee and has_lights
 
@@ -345,6 +382,9 @@ def trace_lanes(
         first_id=jnp.full(n, 0xFF, jnp.uint32),
         rays=jnp.zeros(n, jnp.float32),
     )
+    if pool:
+        state["lane"] = lane
+        state["next_w"] = jnp.uint32(n)  # items 0..n-1 are in flight
 
     mat = scene["mat"]
 
@@ -357,6 +397,7 @@ def trace_lanes(
         last_delta, vol_stack = s["last_delta"], s["vol_stack"]
         position, first_id = s["position"], s["first_id"]
         s_idx = s["s_idx"]
+        lane_now = s["lane"] if pool else lane
         sample_id = s_idx  # per-lane sample index for all RNG draws
         was_alive = alive
 
@@ -366,13 +407,13 @@ def trace_lanes(
         # --- Russian roulette (integrator.rs:165-177) ---
         rr_on = alive & (b > RR_START_BOUNCE)
         survive = jnp.minimum(jnp.max(throughput, axis=-1), RR_MAX_SURVIVE)
-        u_rr = uniform4(lane, sample_id, b, _S_RR)[:, 0]
+        u_rr = uniform4(lane_now, sample_id, b, _S_RR)[:, 0]
         killed = rr_on & (u_rr > survive)
         alive = alive & ~killed
         throughput = jnp.where(rr_on[:, None], throughput / jnp.maximum(survive, 1e-20)[:, None], throughput)
 
         # --- closest hit on the world (dead lanes get a zero-extent ray) ---
-        tri_idx, t_hit, hu, hv, inst_idx = _world_closest(
+        tri_idx, t_hit, hu, hv, inst_idx, shade = _world_closest(
             scene, o, d, jnp.where(alive, INFINITY, 0.0)
         )
         hit = (tri_idx >= 0) & alive
@@ -388,7 +429,7 @@ def trace_lanes(
         if any_volumes:
             t_scat = jnp.full_like(t_hit, INFINITY)
             scat_slot = jnp.zeros_like(tri_idx)
-            vol_u = [uniform4(lane, sample_id, b, _S_VOLUME + k) for k in range(VOLUME_STACK_DEPTH)]
+            vol_u = [uniform4(lane_now, sample_id, b, _S_VOLUME + k) for k in range(VOLUME_STACK_DEPTH)]
             slot_vols = []
             for k in range(VOLUME_STACK_DEPTH):
                 vp = _volume_gather(mat, vol_stack[:, k])
@@ -426,8 +467,8 @@ def trace_lanes(
 
         # --- surface interaction for unscattered hit lanes ---
         surf = hit & ~scattered
-        normal, front = _hit_normal(scene, tri_idx, hu, hv, d, inst_idx)
-        mat_idx, model_id = _hit_material_model(scene, tri_idx, inst_idx)
+        normal, front = _hit_normal(scene, tri_idx, hu, hv, d, inst_idx, shade)
+        mat_idx, model_id = _hit_material_model(scene, tri_idx, inst_idx, shade)
         first_id = jnp.where(at_b0 & hit, model_id.astype(jnp.uint32), first_id)
         m_lane = bsdf_mod.gather_mat(mat, mat_idx)
         wi_viewer = -d
@@ -449,15 +490,28 @@ def trace_lanes(
             vol_stack = _stack_insert(vol_stack, mat_idx, has_vol & front)
             vol_stack = _stack_remove(vol_stack, mat_idx, has_vol & ~front)
 
-        # NEE (integrator.rs:231-234)
+        # NEE (integrator.rs:231-234). Both halves' shadow rays go through
+        # ONE batched any-hit (2N rays, one kernel launch / table DMA).
         if nee:
             nee_on = surf & ~is_emissive & ~m_lane["is_delta"]
-            direct = _direct_explicit(
-                scene, lane, sample_id, b, o_surf, wi_viewer, normal, front,
+            wo_e, lim_e, contrib_e = _direct_explicit(
+                scene, lane_now, sample_id, b, o_surf, wi_viewer, normal, front,
                 m_lane, nee_on, mtypes, consistent_ggx,
-            ) + _direct_bsdf(
-                scene, lane, sample_id, b, o_surf, d, wi_viewer, normal, front,
+            )
+            wo_b, lim_b, contrib_b = _direct_bsdf(
+                scene, lane_now, sample_id, b, o_surf, d, wi_viewer, normal, front,
                 m_lane, nee_on, mtypes, consistent_ggx,
+            )
+            nr = o_surf.shape[0]
+            occluded = _world_any(
+                scene,
+                jnp.concatenate([o_surf, o_surf], axis=0),
+                jnp.concatenate([wo_e, wo_b], axis=0),
+                jnp.concatenate([lim_e, lim_b], axis=0),
+            )
+            direct = (
+                jnp.where(occluded[:nr, None], 0.0, contrib_e)
+                + jnp.where(occluded[nr:, None], 0.0, contrib_b)
             )
             radiance = jnp.where(nee_on[:, None], radiance + throughput * direct, radiance)
 
@@ -466,7 +520,7 @@ def trace_lanes(
             rays = rays + 3.0 * nee_on.astype(jnp.float32)
 
         # BSDF scatter + path weight (integrator.rs:236-251)
-        u_sc = uniform4(lane, sample_id, b, _S_SCATTER)
+        u_sc = uniform4(lane_now, sample_id, b, _S_SCATTER)
         new_dir = bsdf_mod.sample_bsdf(m_lane, d, normal, front, u_sc, mtypes)
         bsdf_v, pdf = bsdf_mod.eval_bsdf_pdf(m_lane, wi_viewer, new_dir, normal, front, mtypes, consistent_ggx)
         invalid_pdf = pdf < MIN_PDF
@@ -489,11 +543,27 @@ def trace_lanes(
 
         # --- flush finished samples + path regeneration ---
         died = was_alive & ~alive
-        accum = s["accum"] + jnp.where(died[:, None], _sample_guard(radiance), 0.0)
-        next_s = s_idx + 1
-        regen = died & (next_s < limit)
-        s_idx = jnp.where(died, next_s, s_idx)
-        new_o, new_d = camera_rays(s_idx)
+        flush = jnp.where(died[:, None], _sample_guard(radiance), 0.0)
+        if pool:
+            # Global work queue: dead lanes claim the next undone
+            # (pixel, sample) items in lane order (deterministic: an
+            # exclusive prefix count of deaths replaces an atomic counter).
+            # Flushes scatter-add into the tile-local film by pixel.
+            accum = s["accum"].at[(lane_now - lane0).astype(jnp.int32)].add(flush)
+            died_u = died.astype(jnp.uint32)
+            rank = jnp.cumsum(died_u) - died_u  # exclusive
+            w_new = s["next_w"] + rank
+            regen = died & (w_new < total_work)
+            lane_next = jnp.where(regen, lane0 + w_new % jnp.uint32(n), lane_now)
+            s_idx = jnp.where(regen, base + w_new // jnp.uint32(n), s_idx)
+            next_w = s["next_w"] + jnp.sum(died_u)
+            new_o, new_d = camera_rays(s_idx, lane_next)
+        else:
+            accum = s["accum"] + flush
+            next_s = s_idx + 1
+            regen = died & (next_s < limit)
+            s_idx = jnp.where(died, next_s, s_idx)
+            new_o, new_d = camera_rays(s_idx, lane_now)
         o = jnp.where(regen[:, None], new_o, o)
         d = jnp.where(regen[:, None], new_d, d)
         throughput = jnp.where(regen[:, None], 1.0, throughput)
@@ -503,11 +573,15 @@ def trace_lanes(
         b = jnp.where(regen, 0, b)
         alive = alive | regen
 
-        return dict(
+        out = dict(
             o=o, d=d, throughput=throughput, radiance=radiance, accum=accum,
             alive=alive, last_delta=last_delta, vol_stack=vol_stack, b=b,
             s_idx=s_idx, position=position, first_id=first_id, rays=rays,
         )
+        if pool:
+            out["lane"] = lane_next
+            out["next_w"] = next_w
+        return out
 
     def body(s):
         # MEASURED (v5e via axon, 2026-08-16): every while/fori iteration
@@ -529,6 +603,16 @@ def trace_lanes(
         return s
 
     out = jax.lax.while_loop(cond, body, state)
+    if pool:
+        # position/first_id rows belong to (remapped) lanes, not pixels —
+        # meaningless for TAA; return empty buffers (pool mode is for
+        # throughput rendering, the interactive path renders pinned).
+        return (
+            out["accum"],
+            jnp.zeros_like(out["position"]),
+            jnp.zeros_like(out["first_id"]),
+            out["rays"],
+        )
     return out["accum"], out["position"], out["first_id"], out["rays"]
 
 
@@ -596,6 +680,7 @@ def render_film(
     tile_lanes: int | None = None,
     steps_per_iter: int | None = None,
     consistent_ggx: bool = False,
+    pool: bool | None = None,
 ):
     """Trace ``spp`` samples/pixel over the film in lane tiles.
 
@@ -609,6 +694,14 @@ def render_film(
     """
     n = width * height
     stream_engine = "stream_static" in scene["bvh"] or "stream" in scene["bvh"]
+    if pool is None:
+        # MEASURED (v5e, 2026-08-16): global-work-queue regeneration is
+        # +65% on dense-engine scenes (kernel cost/iter is fixed, so filling
+        # the wave cuts iterations: mesh_scene 2.25 -> 3.72 Mrays/s), but
+        # the per-iteration scatter-add dwarfs the stream engines' tiny
+        # bodies (Cornell headline 434 -> 199 Mrays/s). Auto: pool exactly
+        # when the traversal engine is not a compile-time stream.
+        pool = not stream_engine
     if tile_lanes is None:
         if stream_engine:
             tile_lanes = TILE_LANES_STREAM
@@ -639,7 +732,7 @@ def render_film(
         trace_lanes,
         static_argnames=("width", "height", "max_bounces", "enable_nee",
                          "has_lights", "mtypes", "any_volumes",
-                         "steps_per_iter", "consistent_ggx"),
+                         "steps_per_iter", "consistent_ggx", "pool"),
     )
     rads = []
     rays_total = jnp.zeros((), jnp.float32)
@@ -650,7 +743,7 @@ def render_film(
             max_bounces=max_bounces, enable_nee=enable_nee,
             has_lights=has_lights, spp=spp, mtypes=mtypes,
             any_volumes=any_volumes, steps_per_iter=steps_per_iter,
-            consistent_ggx=consistent_ggx,
+            consistent_ggx=consistent_ggx, pool=pool,
         )
         rads.append(rad)
         rays_total = rays_total + jnp.sum(rays)
@@ -667,11 +760,18 @@ def render(
     enable_nee: bool = True,
     start_sample: int = 0,
     film=None,
+    pool: bool | None = False,
 ):
     """Progressive multi-sample render on one device.
 
     Returns an HDR accumulation film ``[H, W, 4]`` (rgb sum + sample count in
     alpha, the layout of ``accumulate.wgsl``). Pass ``film`` to resume.
+
+    ``pool`` defaults to False (NOT auto): this is the checkpoint/resume
+    path, whose bit-faithful-for-any-sample-split guarantee requires the
+    pinned per-lane schedule. Pass ``pool=None`` for the engine-aware
+    throughput default (``render_film``) when resuming bit-exactness doesn't
+    matter.
     """
     scene = scene_host.device() if hasattr(scene_host, "device") else scene_host
     has_lights = "light" in scene
@@ -691,7 +791,7 @@ def render(
         rad, _ = render_film(
             scene, ndc_to_world, origin, s, width, height, cur,
             max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
-            mtypes=mtypes, any_volumes=any_volumes,
+            mtypes=mtypes, any_volumes=any_volumes, pool=pool,
         )
         frame = jnp.concatenate([rad, jnp.full((rad.shape[0], 1), cur, jnp.float32)], axis=1)
         film = film + frame.reshape(height, width, 4)

@@ -234,14 +234,22 @@ class Scene:
         # (trace/dense_pallas.py) on real TPUs, the XLA chunked-MXU engine
         # (trace/dense.py) elsewhere (tests/CPU).
         from path_tracer_tpu.trace.dense import DENSE_MAX_TRIS, pack_dense
-        from path_tracer_tpu.trace.dense_pallas import DENSE_PL_MAX_TRIS, pack_dense_pl
+        from path_tracer_tpu.trace.dense_pallas import (
+            DENSE_PL_MAX_TRIS,
+            pack_dense_pl,
+            pack_dense_pl_aux,
+        )
 
         if "stream_static" not in data["bvh"] and "stream" not in data["bvh"]:
             if (jax.default_backend() == "tpu"
                     and self.num_world_tris <= DENSE_PL_MAX_TRIS):
                 data["tri"]["dense_pl"] = {
-                    "tab": jnp.asarray(pack_dense_pl(self.tri)),
-                    "tri_rows": data["tri"]["packed"],
+                    "w": jnp.asarray(pack_dense_pl(self.tri)),
+                    "aux": jnp.asarray(pack_dense_pl_aux(
+                        self.tri,
+                        self.tri["normals"].reshape(t, 9),
+                        self.tri["model"],
+                    )),
                 }
             elif self.num_world_tris <= DENSE_MAX_TRIS:
                 data["tri"]["dense"] = {

@@ -1,36 +1,46 @@
 """Fused Pallas dense intersection — the mid-size scene engine on real TPUs.
 
 The XLA dense engine (trace/dense.py) expresses ray x triangle-chunk testing
-as [N,3]@[3,C] matmuls plus ~10 elementwise [N,C] combiners. Two problems on
-v5e: a K=3 contraction uses 3/128 of the MXU's systolic depth (~2%
-utilization), and XLA materializes the [N,C] temporaries through HBM, so the
-whole thing runs at HBM speed (~1-3 Mrays/s on the benchmark scenes).
+as [N,3]@[3,C] matmuls plus ~10 elementwise [N,C] combiners; XLA materializes
+the [N,C] temporaries through HBM, so it runs at HBM speed (~1-3 Mrays/s on
+the benchmark scenes). This engine runs the same Havel-Herout math
+(primitive.rs:117-144, ``intersect_naive`` precision — no pre-translation) as
+ONE Pallas kernel with everything VMEM-resident.
 
-This engine runs the same Havel-Herout math (primitive.rs:117-144,
-``intersect_naive`` precision — no pre-translation) as ONE Pallas kernel:
+MXU + VPU SPLIT (the round-1 profiling lesson, measured on v5e): a pure-VPU
+formulation costs ~56 ops/pair (3.2 ms for 16K rays x 5.6K tris). But the six
+per-pair dot families — det = d.n0, td = d0 - o.n0, o.n1 + d1, d.n1,
+o.n2 + d2, d.n2 — are outer products of an 8-vector per ray with an 8-vector
+per triangle: ONE f32 ``[B, 8] @ [8, 6*ch]`` matmul per chunk computes all
+six on the MXU (~free: 8/128 systolic depth but microseconds total), leaving
+~15 VPU ops/pair for the combine (ud/vd FMAs, sign tests, reciprocal, min).
+Matmuls use ``Precision.HIGHEST`` (bf16x3 ~ exact f32).
 
-* the triangle plane table is a component-major ``[16, T']`` f32 array
-  (n0 xyz, d0, n1 xyz, d1, n2 xyz, d2, 4 pad rows; 2 MB at 32K triangles),
-* rays ride the sublane axis, triangles the lane axis: every per-pair
-  quantity is a ``[B, C]`` VPU op built from ``[B,1] x [1,C]`` broadcasts —
-  no MXU, no gathers, and every temporary stays on-chip,
-* the chunk loop is unrolled in groups inside the kernel with a running
-  per-ray (best_t, best_idx) carried in registers,
-* ``t`` uses the VPU's approximate reciprocal plus one Newton step instead
-  of a full-precision divide (the winner's exact t/u/v are recomputed
-  outside from one row gather, like trace/dense.py's winner recompute).
+Kernel layout: rays ride the sublane axis, triangles the lane axis. The
+weight table W ``[8, chunks*6*ch]`` is chunk-interleaved (chunk c occupies
+columns [c*6*ch, (c+1)*6*ch) as six ch-wide blocks det|td|q1|r1|q2|r2), so a
+chunk step is one contiguous slice. Ray 8-vector: (dx dy dz ox oy oz 1 tlim);
+weight columns: det=(n0,0,0,0,0), td=(0,0,0,-n0, d0, 0), q1=(0,0,0,n1, d1, 0),
+r1=(n1,0,0,0,0), q2/r2 likewise with n2/d2 — the +d constant folds into the
+matmul via the ray's constant-1 slot.
 
-MEASURED MOSAIC PITFALL (v5e, 2026-08-16): passing the table as a normal
-VMEM input with a constant ``index_map`` (``lambda i: (0, 0)``) adds a FLAT
-~600 us to every kernel invocation, independent of grid size or table size —
-it swamps small scenes entirely (16K rays vs 128 tris: 697 us with the VMEM
-input, 17 us without). The fix used here: the table is passed in ``pl.ANY``
-memory space and DMA'd ONCE into a VMEM scratch buffer at grid step 0;
-scratch persists across the (sequential) grid steps.
+SHADING EPILOGUE: with the winner's global index known, a second pass over
+the chunks accumulates ``onehot(idx) @ aux_chunk`` on the MXU, fetching the
+winner's plane rows, vertex normals and model id without materializing a
+[N, T] one-hot through HBM (the XLA-side equivalents measured ~2x the whole
+kernel). Exact t/u/v come from one full-precision divide on the fetched
+plane rows in the same expression order as ``traversal._tri_intersect``.
+The one-hot fetch is EXACT in f32: each output sums exactly one product and
+bf16x3 decomposition reproduces f32 values exactly (verified vs interpreter).
 
-The per-pair cost is ~60 VPU ops; measured end-to-end rates (16K rays):
-~250 Mrays/s at 128 tris, ~12 Mrays/s at 5.6K tris — versus 0.4-3.5 Mrays/s
-for the XLA dense engine it replaces.
+MEASURED MOSAIC PITFALLS (v5e, 2026-08-16):
+* a VMEM input with a constant ``index_map`` adds a FLAT ~600 us per call —
+  tables travel in ``pl.ANY`` and are DMA'd once into VMEM scratch at grid
+  step 0 (scratch persists across sequential grid steps),
+* ``i1`` (bool) vectors cannot be ``scf.for`` loop carries — carry f32,
+* big ``[B, ch]`` fori_loop carries are slower than per-chunk cross-lane
+  reduces with ``[B, 1]`` carries,
+* ``tpu.iota`` only exists for integers — iota f32 via int iota + astype.
 
 CPU fallback: the kernel also runs under the Pallas interpreter (tests); the
 scene assembler only attaches this engine on TPU backends.
@@ -48,12 +58,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from path_tracer_tpu.core.constants import EPSILON
 
-# Table capacity: [16, T'] f32 in VMEM scratch = T'/16 KB; 64K tris = 4 MB,
-# leaving plenty for the [B, C] working set.
-DENSE_PL_MAX_TRIS = 65536
+# Table capacity. VMEM budget at 16K tris: W [8, 6*T'] = 3 MB + aux
+# [T', 24] = 1.5 MB + the [B, 6*ch] matmul tile (3 MB) and [B, ch] working
+# set — comfortably inside v5e's 16 MB VMEM. (Scenes above the cap fall back
+# to stack traversal; every BASELINE config fits.)
+DENSE_PL_MAX_TRIS = 16384
 BLOCK = 256  # rays per grid step (sublane axis)
 UNROLL = 4  # chunk-loop unroll group (bounds Mosaic's stack frame)
-_BIG_LANE = 1 << 30  # lane-index sentinel (plain int: jnp consts can't be captured)
+_BIG = 1e30  # "no winner" sentinel for the final argmin (python float)
+AUX_COLS = 24  # n0(3) d0 n1(3) d1 n2(3) d2 | na nb nc (9) | model | pad(2)
+# Matmul precision for in-kernel dots. MEASURED (v5e): HIGHEST (6-pass
+# bf16x3) costs ~2x DEFAULT here and changes nothing observable: Mosaic's
+# DEFAULT f32 dot is multi-pass (NOT single-pass bf16 — verified by the
+# epilogue's one-hot fetch returning table values bit-exactly, which a
+# bf16-rounded pass cannot do), so the search terms are f32-faithful to
+# ~1 ulp and the winner's exact t/u/v come from the f32 VPU divide anyway.
+_HI = jax.lax.Precision.DEFAULT
 
 
 def _chunk_width(n_tris: int) -> int:
@@ -64,70 +84,137 @@ def _chunk_width(n_tris: int) -> int:
     return 512
 
 
-def pack_dense_pl(tri: dict) -> np.ndarray:
-    """Component-major ``[16, T']`` plane table (T' padded to the chunk width).
+def _padded(t: int) -> tuple[int, int]:
+    ch = _chunk_width(t)
+    return -(-t // ch) * ch, ch
 
-    Rows: n0x n0y n0z d0 n1x n1y n1z d1 n2x n2y n2z d2, then 4 zero pad rows.
-    Pad triangles are all-zero -> det == 0 -> never hit.
+
+def pack_dense_pl(tri: dict) -> np.ndarray:
+    """Chunk-interleaved MXU weight table ``[8, chunks*6*ch]``.
+
+    Chunk c, quantity q (det td q1 r1 q2 r2), triangle lane j:
+    column ``c*6*ch + q*ch + j``. Weight rows pair with the kernel's ray
+    vector (dx dy dz ox oy oz 1 tlim); row 7 is always 0 so the tlim slot
+    never contributes. Pad triangles are all-zero -> det == 0 -> never hit.
+    """
+    n0 = np.asarray(tri["n0"], np.float32)
+    n1 = np.asarray(tri["n1"], np.float32)
+    n2 = np.asarray(tri["n2"], np.float32)
+    d0 = np.asarray(tri["d0"], np.float32)
+    d1 = np.asarray(tri["d1"], np.float32)
+    d2 = np.asarray(tri["d2"], np.float32)
+    t = n0.shape[0]
+    tp, ch = _padded(t)
+    chunks = tp // ch
+
+    cols = np.zeros((8, 6, tp), np.float32)  # [row, quantity, tri]
+    cols[0:3, 0, :t] = n0.T  # det = d . n0
+    cols[3:6, 1, :t] = -n0.T  # td = d0 - o . n0
+    cols[6, 1, :t] = d0
+    cols[3:6, 2, :t] = n1.T  # q1 = o . n1 + d1
+    cols[6, 2, :t] = d1
+    cols[0:3, 3, :t] = n1.T  # r1 = d . n1
+    cols[3:6, 4, :t] = n2.T  # q2 = o . n2 + d2
+    cols[6, 4, :t] = d2
+    cols[0:3, 5, :t] = n2.T  # r2 = d . n2
+    # interleave at chunk granularity: [8, chunks, 6, ch]
+    w = cols.reshape(8, 6, chunks, ch).transpose(0, 2, 1, 3).reshape(8, chunks * 6 * ch)
+    return np.ascontiguousarray(w)
+
+
+def pack_dense_pl_aux(tri: dict, normals_flat=None, model=None) -> np.ndarray:
+    """Row-major ``[T', 24]`` epilogue table: plane data (12) + the three
+    vertex shading normals (9) + model id (1, exact float value) + pad (2).
+
+    ``normals_flat``: [T, 9]; ``model``: [T] ints. Either may be None (zeros)
+    for geometry-only uses (tests, light tables).
     """
     n0 = np.asarray(tri["n0"], np.float32)
     t = n0.shape[0]
-    ch = _chunk_width(t)
-    tp = -(-t // ch) * ch
-    tab = np.zeros((16, tp), np.float32)
-    tab[0:3, :t] = n0.T
-    tab[3, :t] = np.asarray(tri["d0"], np.float32)
-    tab[4:7, :t] = np.asarray(tri["n1"], np.float32).T
-    tab[7, :t] = np.asarray(tri["d1"], np.float32)
-    tab[8:11, :t] = np.asarray(tri["n2"], np.float32).T
-    tab[11, :t] = np.asarray(tri["d2"], np.float32)
-    return tab
+    tp, _ = _padded(t)
+    aux = np.zeros((tp, AUX_COLS), np.float32)
+    aux[:t, 0:3] = n0
+    aux[:t, 3] = np.asarray(tri["d0"], np.float32)
+    aux[:t, 4:7] = np.asarray(tri["n1"], np.float32)
+    aux[:t, 7] = np.asarray(tri["d1"], np.float32)
+    aux[:t, 8:11] = np.asarray(tri["n2"], np.float32)
+    aux[:t, 11] = np.asarray(tri["d2"], np.float32)
+    if normals_flat is not None:
+        aux[:t, 12:21] = np.asarray(normals_flat, np.float32)
+    if model is not None:
+        aux[:t, 21] = np.asarray(model, np.float32)
+    return aux
 
 
 def _same(a, b):
     return (a >= 0.0) == (b >= 0.0)
 
 
-def _pair_terms(tab, c0, ch, ox, oy, oz, dx, dy, dz):
-    """Havel-Herout per-pair quantities for triangle lanes [c0, c0+ch).
-
-    ``tab`` is the VMEM scratch ref. Returns (det, td, ud, vd) as [B, ch].
-    """
-    row = lambda r: tab[r : r + 1, pl.ds(c0, ch)]  # [1, ch]
-    n0x, n0y, n0z, d0 = row(0), row(1), row(2), row(3)
-    det = dx * n0x + dy * n0y + dz * n0z
-    td = d0 - (ox * n0x + oy * n0y + oz * n0z)
-
-    n1x, n1y, n1z, d1 = row(4), row(5), row(6), row(7)
-    ud = det * ((ox * n1x + oy * n1y + oz * n1z) + d1) + td * (dx * n1x + dy * n1y + dz * n1z)
-
-    n2x, n2y, n2z, d2 = row(8), row(9), row(10), row(11)
-    vd = det * ((ox * n2x + oy * n2y + oz * n2z) + d2) + td * (dx * n2x + dy * n2y + dz * n2z)
+def _chunk_terms(w_vmem, rays8, c, ch):
+    """All six per-pair dot families for chunk ``c`` in one MXU matmul,
+    then two FMA families on the VPU. Returns (det, td, ud, vd) as [B, ch]."""
+    six = jax.lax.dot_general(
+        rays8, w_vmem[:, pl.ds(c * 6 * ch, 6 * ch)],
+        (((1,), (0,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32,
+    )  # [B, 6*ch]
+    det = six[:, 0 * ch : 1 * ch]
+    td = six[:, 1 * ch : 2 * ch]
+    q1 = six[:, 2 * ch : 3 * ch]
+    r1 = six[:, 3 * ch : 4 * ch]
+    q2 = six[:, 4 * ch : 5 * ch]
+    r2 = six[:, 5 * ch : 6 * ch]
+    ud = det * q1 + td * r1
+    vd = det * q2 + td * r2
     return det, td, ud, vd
 
 
-def _load_table_once(t_hbm, t_vmem, sem):
+def _load_once(pairs):
+    """DMA (hbm_ref, vmem_ref, sem) triples once at grid step 0."""
+
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dma = pltpu.make_async_copy(t_hbm, t_vmem, sem)
-        dma.start()
-        dma.wait()
+        for hbm, vmem, sem in pairs:
+            dma = pltpu.make_async_copy(hbm, vmem, sem)
+            dma.start()
+            dma.wait()
 
 
-def _ray_cols(rays_ref):
-    return tuple(rays_ref[:, k : k + 1] for k in range(7))  # ox..dz, tlim
+def _chunk_sweep(chunks, step, carry):
+    """Run ``step(c_index, carry)`` over all chunks: head unrolled, tail in a
+    fori_loop over UNROLL-groups (bounds the kernel's VMEM stack frame)."""
+    head = chunks % UNROLL if chunks > UNROLL else chunks
+    for c in range(head):
+        carry = step(c, carry)
+    ngroups = (chunks - head) // UNROLL
+    if ngroups:
+
+        def gbody(g, s):
+            for k in range(UNROLL):
+                s = step(head + g * UNROLL + k, s)
+            return s
+
+        carry = jax.lax.fori_loop(0, ngroups, gbody, carry)
+    return carry
 
 
-def _closest_kernel(rays_ref, t_hbm, out_ref, t_vmem, sem, *, chunks, ch):
-    _load_table_once(t_hbm, t_vmem, sem)
-    ox, oy, oz, dx, dy, dz, tlim = _ray_cols(rays_ref)
-    b = ox.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (b, ch), 1)
+def _closest_kernel(rays_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem, sem, sem2,
+                    *, chunks, ch):
+    _load_once([(w_hbm, w_vmem, sem), (a_hbm, a_vmem, sem2)])
+    rays8 = rays_ref[...]  # [B, 8] = dx dy dz ox oy oz 1 tlim
+    tlim = rays_ref[:, 7:8]
+    b = rays8.shape[0]
     eps = jnp.float32(EPSILON)
 
-    def step(c0, carry):
-        best_t, best_i = carry
-        det, td, ud, vd = _pair_terms(t_vmem, c0, ch, ox, oy, oz, dx, dy, dz)
+    # --- search: per-chunk cross-lane (min t, argmin lane) reduces with a
+    # small [B,1] loop carry. (An elementwise [B,ch] best-per-column carry
+    # was measured SLOWER on v5e — big fori_loop vector carries cost more
+    # than the per-chunk reduces they save.)
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (b, ch), 1).astype(jnp.float32)
+
+    def step(c, carry):
+        best_t, best_gl = carry
+        det, td, ud, vd = _chunk_terms(w_vmem, rays8, c, ch)
         c2 = _same(ud, det - ud)
         c3 = _same(vd, det - ud - vd)
         safe = jnp.where(det == 0.0, 1.0, det)
@@ -135,82 +222,111 @@ def _closest_kernel(rays_ref, t_hbm, out_ref, t_vmem, sem, *, chunks, ch):
         r_ = r_ * (2.0 - safe * r_)  # one Newton step: ~1 ulp of f32
         t = td * r_
         ok = c2 & c3 & (det != 0.0) & (t > eps) & (t < tlim)
-        tm = jnp.where(ok, t, jnp.inf)
+        tm = jnp.where(ok, t, _BIG)
         t_c = jnp.min(tm, axis=1, keepdims=True)  # [B, 1]
-        i_c = jnp.min(jnp.where(tm == t_c, lane, _BIG_LANE), axis=1, keepdims=True)
-        upd = t_c < best_t
-        best_i = jnp.where(upd, (i_c + c0).astype(jnp.float32), best_i)
+        l_c = jnp.min(jnp.where(tm == t_c, lane_f, _BIG), axis=1, keepdims=True)
+        upd = t_c < best_t  # strict: earlier chunk wins ties
+        best_gl = jnp.where(upd, l_c + jnp.float32(c * ch), best_gl)
         best_t = jnp.where(upd, t_c, best_t)
-        return best_t, best_i
+        return best_t, best_gl
 
-    carry = (
-        jnp.full((b, 1), jnp.inf, jnp.float32),
+    carry0 = (
+        jnp.full((b, 1), _BIG, jnp.float32),
         jnp.full((b, 1), -1.0, jnp.float32),
     )
-    # head chunks unrolled, tail in a fori_loop over UNROLL-groups (bounds
-    # the kernel's VMEM stack frame: a full unroll OOMs scoped vmem at 32K+)
-    head = chunks % UNROLL if chunks > UNROLL else chunks
-    for c in range(head):
-        carry = step(c * ch, carry)
-    ngroups = (chunks - head) // UNROLL
-    if ngroups:
-        def gbody(g, s):
-            base = head * ch + g * (UNROLL * ch)
-            for k in range(UNROLL):
-                s = step(base + k * ch, s)
-            return s
+    best_t, gl_win = _chunk_sweep(chunks, step, carry0)
+    gl_win = jnp.where(best_t < _BIG, gl_win, -1.0)
 
-        carry = jax.lax.fori_loop(0, ngroups, gbody, carry)
+    # --- epilogue: fetch the winner's aux row with chunked one-hot MXU dots
+    # (VMEM-resident; nothing travels through HBM) ---
+    def fetch(c, acc):
+        c0 = c * ch
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (b, ch), 1).astype(jnp.float32) + jnp.float32(c0)
+        oh = (lanes == gl_win).astype(jnp.float32)  # [B, ch]
+        chunk = a_vmem[pl.ds(c0, ch), :]  # [ch, 24]
+        return acc + jax.lax.dot_general(
+            oh, chunk, (((1,), (0,)), ((), ())),
+            precision=_HI, preferred_element_type=jnp.float32,
+        )
 
-    best_t, best_i = carry
-    out_ref[:, 0:1] = best_t
-    out_ref[:, 1:2] = best_i
-    out_ref[:, 2:8] = jnp.zeros((b, 6), jnp.float32)
+    row = _chunk_sweep(chunks, fetch, jnp.zeros((b, AUX_COLS), jnp.float32))
+
+    # Exact winner t/u/v — same expression order as traversal._tri_intersect.
+    ox, oy, oz = rays_ref[:, 3:4], rays_ref[:, 4:5], rays_ref[:, 5:6]
+    dx, dy, dz = rays_ref[:, 0:1], rays_ref[:, 1:2], rays_ref[:, 2:3]
+    col = lambda k: row[:, k : k + 1]
+    det = col(0) * dx + col(1) * dy + col(2) * dz
+    td = col(3) - (col(0) * ox + col(1) * oy + col(2) * oz)
+    px = det * ox + td * dx
+    py = det * oy + td * dy
+    pz = det * oz + td * dz
+    ud = col(4) * px + col(5) * py + col(6) * pz + det * col(7)
+    vd = col(8) * px + col(9) * py + col(10) * pz + det * col(11)
+    inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    t = td * inv
+    u = ud * inv
+    v = vd * inv
+
+    # Barycentric shading normal (unnormalized; primitive.rs:57-63)
+    w = 1.0 - u - v
+    nx = w * col(12) + u * col(15) + v * col(18)
+    ny = w * col(13) + u * col(16) + v * col(19)
+    nz = w * col(14) + u * col(17) + v * col(20)
+
+    out_ref[:, 0:1] = t
+    out_ref[:, 1:2] = gl_win
+    out_ref[:, 2:3] = u
+    out_ref[:, 3:4] = v
+    out_ref[:, 4:5] = nx
+    out_ref[:, 5:6] = ny
+    out_ref[:, 6:7] = nz
+    out_ref[:, 7:8] = col(21)  # model id
 
 
-def _any_kernel(rays_ref, t_hbm, out_ref, t_vmem, sem, *, chunks, ch):
+def _any_kernel(rays_ref, w_hbm, out_ref, w_vmem, sem, *, chunks, ch):
     """Shadow test: division-free via the sign-consistent t-window check
     (sweep.py's c1 with t_est = 0): hit iff
     sign(td - det*eps) == sign(det*tlim - td)."""
-    _load_table_once(t_hbm, t_vmem, sem)
-    ox, oy, oz, dx, dy, dz, tlim = _ray_cols(rays_ref)
-    b = ox.shape[0]
+    _load_once([(w_hbm, w_vmem, sem)])
+    rays8 = rays_ref[...]
+    tlim = rays_ref[:, 7:8]
+    b = rays8.shape[0]
     eps = jnp.float32(EPSILON)
 
-    def step(c0, found):
-        det, td, ud, vd = _pair_terms(t_vmem, c0, ch, ox, oy, oz, dx, dy, dz)
+    def step(c, found):
+        det, td, ud, vd = _chunk_terms(w_vmem, rays8, c, ch)
         c1 = _same(td - det * eps, det * tlim - td)
         c2 = _same(ud, det - ud)
         c3 = _same(vd, det - ud - vd)
         ok = c1 & c2 & c3 & (det != 0.0)
+        # [B,1] f32 carry: Mosaic cannot legalize i1 vector loop carries,
+        # and small carries beat elementwise [B,ch] ones (see closest).
         return jnp.maximum(found, jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True))
 
-    found = jnp.zeros((b, 1), jnp.float32)
-    head = chunks % UNROLL if chunks > UNROLL else chunks
-    for c in range(head):
-        found = step(c * ch, found)
-    ngroups = (chunks - head) // UNROLL
-    if ngroups:
-        def gbody(g, s):
-            base = head * ch + g * (UNROLL * ch)
-            for k in range(UNROLL):
-                s = step(base + k * ch, s)
-            return s
-
-        found = jax.lax.fori_loop(0, ngroups, gbody, found)
-
-    out_ref[:, 0:1] = found
+    any_f = _chunk_sweep(chunks, step, jnp.zeros((b, 1), jnp.float32))
+    out_ref[:, 0:1] = any_f
     out_ref[:, 1:8] = jnp.zeros((b, 7), jnp.float32)
 
 
 def _pack_rays(origin, direction, t_limit, block):
-    """[N,3]x2 + [N] -> [N', 8] ray rows padded to a BLOCK multiple.
+    """[N,3]x2 + [N] -> [N', 8] ray rows (dx dy dz ox oy oz 1 tlim) padded to
+    a BLOCK multiple. The constant-1 slot folds the d0/d1/d2 plane offsets
+    into the chunk matmul. Pad rays have zero direction (det==0 everywhere ->
+    no hits).
 
-    Pad rays have zero direction (det==0 everywhere -> no hits)."""
+    tlim rides in the matmul operand against an all-zero weight row, so it
+    MUST be finite: inf * 0 = NaN would poison every dot product (this
+    silently blacked out whole renders — integrator dead/miss lanes carry
+    t_limit = inf). Clamp to a huge finite value; comparisons are unchanged."""
     n = origin.shape[0]
     pad = (-n) % block
     rays = jnp.concatenate(
-        [origin, direction, t_limit[:, None], jnp.zeros((n, 1), jnp.float32)],
+        [
+            direction,
+            origin,
+            jnp.ones((n, 1), jnp.float32),
+            jnp.minimum(t_limit, 3.0e38)[:, None],
+        ],
         axis=1,
     )
     if pad:
@@ -218,17 +334,50 @@ def _pack_rays(origin, direction, t_limit, block):
     return rays, n
 
 
-@functools.partial(jax.jit, static_argnames=("any_mode", "interpret"))
-def _dense_pl_call(tab, origin, direction, t_limit, any_mode: bool, interpret: bool):
+def _geom(tab_w):
+    """(chunks, ch) from the packed W table. T' = cols/6; the pack-time chunk
+    width is recoverable because T' is a multiple of it: 128/256 exactly for
+    small scenes, else 512."""
+    tp = tab_w.shape[1] // 6
+    ch = tp if tp in (128, 256) else 512
+    return tp // ch, ch
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _closest_call(w, aux, origin, direction, t_limit, interpret: bool):
     rays, n = _pack_rays(origin, direction, t_limit, BLOCK)
     np_total = rays.shape[0]
-    t_total = tab.shape[1]
-    ch = min(t_total, 512)
-    chunks = t_total // ch
-    kernel = _any_kernel if any_mode else _closest_kernel
+    chunks, ch = _geom(w)
 
     out = pl.pallas_call(
-        functools.partial(kernel, chunks=chunks, ch=ch),
+        functools.partial(_closest_kernel, chunks=chunks, ch=ch),
+        out_shape=jax.ShapeDtypeStruct((np_total, 8), jnp.float32),
+        grid=(np_total // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM(w.shape, jnp.float32),
+            pltpu.VMEM(aux.shape, jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(rays, w, aux)
+    return out[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _any_call(w, origin, direction, t_limit, interpret: bool):
+    rays, n = _pack_rays(origin, direction, t_limit, BLOCK)
+    np_total = rays.shape[0]
+    chunks, ch = _geom(w)
+
+    out = pl.pallas_call(
+        functools.partial(_any_kernel, chunks=chunks, ch=ch),
         out_shape=jax.ShapeDtypeStruct((np_total, 8), jnp.float32),
         grid=(np_total // BLOCK,),
         in_specs=[
@@ -237,11 +386,11 @@ def _dense_pl_call(tab, origin, direction, t_limit, any_mode: bool, interpret: b
         ],
         out_specs=pl.BlockSpec((BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM(tab.shape, jnp.float32),
+            pltpu.VMEM(w.shape, jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(rays, tab)
+    )(rays, w)
     return out[:n]
 
 
@@ -249,35 +398,33 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def dense_pl_closest_hit_shade(dense_pl: dict, origin, direction, t_limit):
+    """Closest hit + fused shading fetch. Returns
+    ``(tri_idx, t, u, v, normal_raw [N,3], model_id [N] i32)`` — the normal is
+    the unnormalized barycentric interpolation (callers normalize + flip)."""
+    out = _closest_call(
+        dense_pl["w"], dense_pl["aux"], origin, direction, t_limit,
+        interpret=_interpret_default(),
+    )
+    best = out[:, 1].astype(jnp.int32)
+    hit = best >= 0
+    t = jnp.where(hit, out[:, 0], t_limit)
+    u = jnp.where(hit, out[:, 2], 0.0)
+    v = jnp.where(hit, out[:, 3], 0.0)
+    normal = out[:, 4:7]
+    model = out[:, 7].astype(jnp.int32)
+    return best, t, u, v, normal, model
+
+
 def dense_pl_closest_hit(dense_pl: dict, origin, direction, t_limit):
     """Same contract as `traversal.closest_hit`: (tri_idx, t, u, v)."""
-    out = _dense_pl_call(
-        dense_pl["tab"], origin, direction, t_limit,
-        any_mode=False, interpret=_interpret_default(),
-    )
-    t_kern = out[:, 0]
-    best = out[:, 1].astype(jnp.int32)
-    hit = jnp.isfinite(t_kern)
-    best = jnp.where(hit, best, -1)
-
-    # Winner t/u/v via one gathered exact Havel-Herout evaluation
-    # (trace/dense.py's winner-recompute; also replaces the kernel's
-    # Newton-refined t with the exact-division t).
-    from path_tracer_tpu.trace.traversal import _tri_intersect
-
-    _, t, u, v = _tri_intersect(
-        dense_pl["tri_rows"], jnp.maximum(best, 0), origin, direction,
-        jnp.float32(EPSILON), jnp.where(hit, t_kern + 1.0, 1.0),
-    )
-    t_max = jnp.where(hit, t, t_limit)
-    u = jnp.where(hit, u, 0.0)
-    v = jnp.where(hit, v, 0.0)
-    return best, t_max, u, v
+    best, t, u, v, _, _ = dense_pl_closest_hit_shade(dense_pl, origin, direction, t_limit)
+    return best, t, u, v
 
 
 def dense_pl_any_hit(dense_pl: dict, origin, direction, t_limit):
-    out = _dense_pl_call(
-        dense_pl["tab"], origin, direction, t_limit,
-        any_mode=True, interpret=_interpret_default(),
+    out = _any_call(
+        dense_pl["w"], origin, direction, t_limit,
+        interpret=_interpret_default(),
     )
     return out[:, 0] > 0.0

@@ -14,7 +14,9 @@ from path_tracer_tpu.trace.traversal import brute_force_closest, pack_tris
 from path_tracer_tpu.trace.dense_pallas import (
     dense_pl_any_hit,
     dense_pl_closest_hit,
+    dense_pl_closest_hit_shade,
     pack_dense_pl,
+    pack_dense_pl_aux,
 )
 
 
@@ -29,7 +31,12 @@ def setup():
     pos = np.stack([v0, v1, v2], axis=1)
     tri = dict(tri_mod.precompute(pos))
     tri["packed"] = jnp.asarray(pack_tris(tri))
-    dense_pl = {"tab": jnp.asarray(pack_dense_pl(tri)), "tri_rows": tri["packed"]}
+    tri["normals_flat"] = rng.normal(size=(t, 9)).astype(np.float32)
+    tri["model"] = rng.integers(0, 5, t).astype(np.int32)
+    dense_pl = {
+        "w": jnp.asarray(pack_dense_pl(tri)),
+        "aux": jnp.asarray(pack_dense_pl_aux(tri, tri["normals_flat"], tri["model"])),
+    }
 
     n = 200  # non-multiple of BLOCK exercises the ray padding path
     o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
@@ -63,6 +70,47 @@ def test_any_hit_window(setup):
     missed = dense_pl_any_hit(dense_pl, oh, dh, jnp.asarray(th * 0.999))
     assert bool(np.asarray(found).all())
     assert not bool(np.asarray(missed).any())
+
+
+def test_infinite_t_limit(setup):
+    """The integrator passes t_limit = inf for live lanes; the kernel must
+    not NaN-poison its matmul through the tlim ray slot (regression:
+    inf * 0-weight = NaN blacked out whole renders)."""
+    tri, dense_pl, o, d = setup
+    inf = jnp.full(o.shape[0], np.inf, jnp.float32)
+    big = jnp.full(o.shape[0], 1e30, jnp.float32)
+    bi, ti_, ui, vi = dense_pl_closest_hit(dense_pl, o, d, inf)
+    bb, tb, ub, vb = dense_pl_closest_hit(dense_pl, o, d, big)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(bb))
+    hit = np.asarray(bb) >= 0
+    assert hit.any()
+    np.testing.assert_array_equal(np.asarray(ti_)[hit], np.asarray(tb)[hit])
+    # any-hit under inf limit equals any-hit under the huge finite limit
+    np.testing.assert_array_equal(
+        np.asarray(dense_pl_any_hit(dense_pl, o, d, inf)),
+        np.asarray(dense_pl_any_hit(dense_pl, o, d, big)),
+    )
+
+
+def test_shade_epilogue_matches_host(setup):
+    """The in-kernel one-hot fetch returns the winner's interpolated normal
+    and model id exactly (one nonzero product per output)."""
+    tri, dense_pl, o, d = setup
+    tlim = jnp.full(o.shape[0], 1e30, jnp.float32)
+    pb, pt, pu, pv, n_raw, model = dense_pl_closest_hit_shade(dense_pl, o, d, tlim)
+    pb, pu, pv = np.asarray(pb), np.asarray(pu), np.asarray(pv)
+    hit = pb >= 0
+    assert hit.any()
+    np.testing.assert_array_equal(np.asarray(model)[hit], tri["model"][pb[hit]])
+    nf = tri["normals_flat"][pb[hit]]
+    w = 1.0 - pu[hit] - pv[hit]
+    expect = (
+        nf[:, 0:3] * w[:, None] + nf[:, 3:6] * pu[hit][:, None] + nf[:, 6:9] * pv[hit][:, None]
+    )
+    np.testing.assert_allclose(np.asarray(n_raw)[hit], expect, rtol=1e-6, atol=1e-6)
+    # misses return zeros / -1
+    assert (np.asarray(model)[~hit] == 0).all()
+    assert (np.asarray(n_raw)[~hit] == 0).all()
 
 
 def test_t_limit_respected(setup):

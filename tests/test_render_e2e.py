@@ -154,6 +154,27 @@ def test_volume_scene_finite():
     assert rad.mean() > 0.0
 
 
+def test_pooled_matches_pinned(cornell):
+    """Global-work-queue regeneration (pool=True) computes the same
+    per-(pixel, sample) radiances; film sums match the pinned schedule up to
+    float add order, and the pooled schedule is self-deterministic."""
+    scene, cam, scene_host = cornell
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.integrator.wavefront import render_film
+
+    ndc = jnp.asarray(cam.view_proj_inverse())
+    org = jnp.asarray(cam.origin)
+    kw = dict(max_bounces=8, mtypes=scene_host.active_mtypes,
+              any_volumes=scene_host.has_volumes)
+    a, ra = render_film(scene, ndc, org, 0, W, H, 4, **kw)
+    b, rb = render_film(scene, ndc, org, 0, W, H, 4, pool=True, **kw)
+    c, rc = render_film(scene, ndc, org, 0, W, H, 4, pool=True, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(ra), float(rb))  # same rays either way
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(c))  # deterministic
+
+
 def test_render_film_tiling_invariance(cornell):
     """Tile size must not change the image (lane-keyed RNG)."""
     scene, cam, scene_host = cornell
