@@ -238,6 +238,7 @@ class Scene:
             DENSE_PL_MAX_TRIS,
             pack_dense_pl,
             pack_dense_pl_aux,
+            pack_dense_pl_cab,
         )
 
         if "stream_static" not in data["bvh"] and "stream" not in data["bvh"]:
@@ -250,6 +251,9 @@ class Scene:
                         self.tri["normals"].reshape(t, 9),
                         self.tri["model"],
                     )),
+                    # chunk AABBs for block-level chunk culling (tris are in
+                    # SAH leaf order, so chunks are spatial clusters)
+                    "cab": jnp.asarray(pack_dense_pl_cab(self.tri["positions"])),
                 }
             elif self.num_world_tris <= DENSE_MAX_TRIS:
                 data["tri"]["dense"] = {

@@ -146,6 +146,96 @@ def pack_dense_pl_aux(tri: dict, normals_flat=None, model=None) -> np.ndarray:
     return aux
 
 
+def pack_dense_pl_cab(positions: np.ndarray) -> np.ndarray:
+    """Chunk AABBs ``[chunks, 6]`` (min xyz, max xyz) for block-level chunk
+    culling. Triangles arrive in SAH-BVH DFS leaf order (scene.py applies the
+    builder's permutation), so consecutive ``ch``-triangle chunks are spatial
+    clusters and their boxes are tight. Empty pad chunks get an inverted box
+    (min=+BIG, max=-BIG) that never passes the overlap test."""
+    pos = np.asarray(positions, np.float32)  # [T, 3(vertex), 3(xyz)]
+    t = pos.shape[0]
+    tp, ch = _padded(t)
+    chunks = tp // ch
+    cab = np.empty((chunks, 6), np.float32)
+    cab[:, 0:3] = _BIG
+    cab[:, 3:6] = -_BIG
+    # The visit test's f32 interval divisions round differently from the
+    # kernel's matmul-derived t, so a hit EXACTLY on a chunk face can land
+    # ~ulps outside the computed window. Pad boxes by a scene-relative slack
+    # (>> accumulated rounding, << chunk size) so knife-edge hits never cull.
+    pad = 1e-4 * float(np.abs(pos).max(initial=1.0)) + 1e-6
+    for c in range(chunks):
+        seg = pos[c * ch : min((c + 1) * ch, t)]
+        if seg.size:
+            cab[c, 0:3] = seg.min(axis=(0, 1)) - pad
+            cab[c, 3:6] = seg.max(axis=(0, 1)) + pad
+    return cab
+
+
+def _block_bits(rays: jnp.ndarray, cab: jnp.ndarray) -> jnp.ndarray:
+    """Per-block visit bitmask ``[nb, 1]`` int32 over the chunk AABBs.
+
+    Conservative interval slab test: for ray-block bounds (origins in
+    [olo,ohi], directions in [dlo,dhi], t in [0, tmax]) and chunk box
+    [blo,bhi], axis k admits t in the OUTER bound of
+    {(b - o)/d : b in slab, o in o-interval, d in d-interval}; a chunk is
+    visited iff the three axis windows and [0, tmax] all overlap. Any real
+    hit's t lies inside every axis window, so culling never drops a hit.
+    Direction intervals containing 0 make that axis unbounded (no cull from
+    it) — this also neutralizes all-pad blocks (d = 0).
+
+    Exactness caveat (measured): the padded boxes + tmax slack absorb normal
+    f32 rounding, so culled and unculled renders are bit-identical — except
+    ~1 in 10^4-10^5 pixels where the kernel's Newton-t/MXU rounding accepts a
+    near-degenerate (tiny-det) intersection whose EXACT t lies outside the
+    window; culling excludes it. The culled answer is the geometrically
+    faithful one; the discrepancy is far below Monte-Carlo noise."""
+    nb = rays.shape[0] // BLOCK
+    blk = rays.reshape(nb, BLOCK, 8)
+    d, o, tl = blk[:, :, 0:3], blk[:, :, 3:6], blk[:, :, 7]
+    # Rays that cannot hit anything must not poison the block bounds: the
+    # integrator's dead/regen lanes carry t_limit = 0 and occasionally NaN
+    # origins/directions (NaN -> det comparisons all false in the kernel, so
+    # they are harmless there, but one NaN here would collapse lo<=hi to
+    # false and wrongly cull the whole block).
+    valid = (
+        (tl > 0.0)
+        & jnp.isfinite(o).all(axis=-1)
+        & jnp.isfinite(d).all(axis=-1)
+    )[:, :, None]
+    big = jnp.float32(_BIG)
+    olo = jnp.where(valid, o, big).min(axis=1)  # [nb, 3]
+    ohi = jnp.where(valid, o, -big).max(axis=1)
+    dlo = jnp.where(valid, d, big).min(axis=1)
+    dhi = jnp.where(valid, d, -big).max(axis=1)
+    tmax = jnp.where(valid[:, :, 0], tl, 0.0).max(axis=1)  # [nb]
+
+    blo, bhi = cab[:, 0:3], cab[:, 3:6]  # [chunks, 3]
+    # numerator interval per (block, chunk, axis)
+    nlo = blo[None, :, :] - ohi[:, None, :]
+    nhi = bhi[None, :, :] - olo[:, None, :]
+    dl = dlo[:, None, :]
+    dh = dhi[:, None, :]
+    crosses = (dl <= 0.0) & (dh >= 0.0)
+    safe_l = jnp.where(dl == 0.0, 1.0, dl)
+    safe_h = jnp.where(dh == 0.0, 1.0, dh)
+    cands = jnp.stack(
+        [nlo / safe_l, nlo / safe_h, nhi / safe_l, nhi / safe_h], axis=0
+    )
+    t_lo = jnp.where(crosses, -_BIG, jnp.min(cands, axis=0))
+    t_hi = jnp.where(crosses, _BIG, jnp.max(cands, axis=0))
+    lo = jnp.maximum(t_lo.max(axis=-1), 0.0)  # [nb, chunks]
+    # kernel rounding (Newton t, matmul dots) can accept hits ~ulps beyond
+    # the exact t window; slacken tmax to match the padded boxes
+    hi = jnp.minimum(t_hi.min(axis=-1), tmax[:, None] * 1.00002 + 1e-5)
+    vis = (lo <= hi) & valid.any(axis=1)  # all-dead blocks visit nothing
+    chunks = cab.shape[0]
+    bits = (vis.astype(jnp.int32) << jnp.arange(chunks, dtype=jnp.int32)[None, :]).sum(
+        axis=1, dtype=jnp.int32
+    )
+    return bits[:, None]
+
+
 def _same(a, b):
     return (a >= 0.0) == (b >= 0.0)
 
@@ -180,9 +270,21 @@ def _load_once(pairs):
             dma.wait()
 
 
-def _chunk_sweep(chunks, step, carry):
+def _chunk_sweep(chunks, step, carry, mask=None):
     """Run ``step(c_index, carry)`` over all chunks: head unrolled, tail in a
-    fori_loop over UNROLL-groups (bounds the kernel's VMEM stack frame)."""
+    fori_loop over UNROLL-groups (bounds the kernel's VMEM stack frame).
+
+    ``mask`` (scalar int32 bitmask, bit c = visit chunk c) skips whole chunk
+    steps via real control flow (``lax.cond`` -> scf.if): a skipped chunk
+    costs ~nothing — this is where block-level culling turns into saved
+    cycles, unlike lane masking which still executes every op."""
+    if mask is not None:
+        inner = step
+
+        def step(c, s):  # noqa: F811 — deliberate shadowing wrapper
+            bit = jax.lax.shift_right_logical(mask, c) & 1
+            return jax.lax.cond(bit != 0, lambda s_: inner(c, s_), lambda s_: s_, s)
+
     head = chunks % UNROLL if chunks > UNROLL else chunks
     for c in range(head):
         carry = step(c, carry)
@@ -198,9 +300,10 @@ def _chunk_sweep(chunks, step, carry):
     return carry
 
 
-def _closest_kernel(rays_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem, sem, sem2,
-                    *, chunks, ch):
+def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
+                    sem, sem2, *, chunks, ch):
     _load_once([(w_hbm, w_vmem, sem), (a_hbm, a_vmem, sem2)])
+    mask = bits_ref[pl.program_id(0), 0]
     rays8 = rays_ref[...]  # [B, 8] = dx dy dz ox oy oz 1 tlim
     tlim = rays_ref[:, 7:8]
     b = rays8.shape[0]
@@ -234,7 +337,7 @@ def _closest_kernel(rays_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem, sem, sem2,
         jnp.full((b, 1), _BIG, jnp.float32),
         jnp.full((b, 1), -1.0, jnp.float32),
     )
-    best_t, gl_win = _chunk_sweep(chunks, step, carry0)
+    best_t, gl_win = _chunk_sweep(chunks, step, carry0, mask)
     gl_win = jnp.where(best_t < _BIG, gl_win, -1.0)
 
     # --- epilogue: fetch the winner's aux row with chunked one-hot MXU dots
@@ -249,7 +352,8 @@ def _closest_kernel(rays_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem, sem, sem2,
             precision=_HI, preferred_element_type=jnp.float32,
         )
 
-    row = _chunk_sweep(chunks, fetch, jnp.zeros((b, AUX_COLS), jnp.float32))
+    # winners can only live in visited chunks, so the fetch reuses the mask
+    row = _chunk_sweep(chunks, fetch, jnp.zeros((b, AUX_COLS), jnp.float32), mask)
 
     # Exact winner t/u/v — same expression order as traversal._tri_intersect.
     ox, oy, oz = rays_ref[:, 3:4], rays_ref[:, 4:5], rays_ref[:, 5:6]
@@ -283,11 +387,12 @@ def _closest_kernel(rays_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem, sem, sem2,
     out_ref[:, 7:8] = col(21)  # model id
 
 
-def _any_kernel(rays_ref, w_hbm, out_ref, w_vmem, sem, *, chunks, ch):
+def _any_kernel(rays_ref, bits_ref, w_hbm, out_ref, w_vmem, sem, *, chunks, ch):
     """Shadow test: division-free via the sign-consistent t-window check
     (sweep.py's c1 with t_est = 0): hit iff
     sign(td - det*eps) == sign(det*tlim - td)."""
     _load_once([(w_hbm, w_vmem, sem)])
+    mask = bits_ref[pl.program_id(0), 0]
     rays8 = rays_ref[...]
     tlim = rays_ref[:, 7:8]
     b = rays8.shape[0]
@@ -303,7 +408,7 @@ def _any_kernel(rays_ref, w_hbm, out_ref, w_vmem, sem, *, chunks, ch):
         # and small carries beat elementwise [B,ch] ones (see closest).
         return jnp.maximum(found, jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True))
 
-    any_f = _chunk_sweep(chunks, step, jnp.zeros((b, 1), jnp.float32))
+    any_f = _chunk_sweep(chunks, step, jnp.zeros((b, 1), jnp.float32), mask)
     out_ref[:, 0:1] = any_f
     out_ref[:, 1:8] = jnp.zeros((b, 7), jnp.float32)
 
@@ -343,11 +448,20 @@ def _geom(tab_w):
     return tp // ch, ch
 
 
+def _visit_bits(rays, cab):
+    """Bitmask [nb, 1] — all-ones when no chunk AABBs are provided."""
+    nb = rays.shape[0] // BLOCK
+    if cab is None:
+        return jnp.full((nb, 1), -1, jnp.int32)
+    return _block_bits(rays, cab)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_call(w, aux, origin, direction, t_limit, interpret: bool):
+def _closest_call(w, aux, cab, origin, direction, t_limit, interpret: bool):
     rays, n = _pack_rays(origin, direction, t_limit, BLOCK)
     np_total = rays.shape[0]
     chunks, ch = _geom(w)
+    bits = _visit_bits(rays, cab)
 
     out = pl.pallas_call(
         functools.partial(_closest_kernel, chunks=chunks, ch=ch),
@@ -355,6 +469,7 @@ def _closest_call(w, aux, origin, direction, t_limit, interpret: bool):
         grid=(np_total // BLOCK,),
         in_specs=[
             pl.BlockSpec((BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -366,15 +481,16 @@ def _closest_call(w, aux, origin, direction, t_limit, interpret: bool):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(rays, w, aux)
+    )(rays, bits, w, aux)
     return out[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _any_call(w, origin, direction, t_limit, interpret: bool):
+def _any_call(w, cab, origin, direction, t_limit, interpret: bool):
     rays, n = _pack_rays(origin, direction, t_limit, BLOCK)
     np_total = rays.shape[0]
     chunks, ch = _geom(w)
+    bits = _visit_bits(rays, cab)
 
     out = pl.pallas_call(
         functools.partial(_any_kernel, chunks=chunks, ch=ch),
@@ -382,6 +498,7 @@ def _any_call(w, origin, direction, t_limit, interpret: bool):
         grid=(np_total // BLOCK,),
         in_specs=[
             pl.BlockSpec((BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -390,7 +507,7 @@ def _any_call(w, origin, direction, t_limit, interpret: bool):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(rays, w)
+    )(rays, bits, w)
     return out[:n]
 
 
@@ -403,8 +520,8 @@ def dense_pl_closest_hit_shade(dense_pl: dict, origin, direction, t_limit):
     ``(tri_idx, t, u, v, normal_raw [N,3], model_id [N] i32)`` — the normal is
     the unnormalized barycentric interpolation (callers normalize + flip)."""
     out = _closest_call(
-        dense_pl["w"], dense_pl["aux"], origin, direction, t_limit,
-        interpret=_interpret_default(),
+        dense_pl["w"], dense_pl["aux"], dense_pl.get("cab"), origin, direction,
+        t_limit, interpret=_interpret_default(),
     )
     best = out[:, 1].astype(jnp.int32)
     hit = best >= 0
@@ -424,7 +541,7 @@ def dense_pl_closest_hit(dense_pl: dict, origin, direction, t_limit):
 
 def dense_pl_any_hit(dense_pl: dict, origin, direction, t_limit):
     out = _any_call(
-        dense_pl["w"], origin, direction, t_limit,
+        dense_pl["w"], dense_pl.get("cab"), origin, direction, t_limit,
         interpret=_interpret_default(),
     )
     return out[:, 0] > 0.0

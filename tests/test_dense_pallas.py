@@ -17,6 +17,7 @@ from path_tracer_tpu.trace.dense_pallas import (
     dense_pl_closest_hit_shade,
     pack_dense_pl,
     pack_dense_pl_aux,
+    pack_dense_pl_cab,
 )
 
 
@@ -36,6 +37,7 @@ def setup():
     dense_pl = {
         "w": jnp.asarray(pack_dense_pl(tri)),
         "aux": jnp.asarray(pack_dense_pl_aux(tri, tri["normals_flat"], tri["model"])),
+        "cab": jnp.asarray(pack_dense_pl_cab(pos)),
     }
 
     n = 200  # non-multiple of BLOCK exercises the ray padding path
@@ -111,6 +113,79 @@ def test_shade_epilogue_matches_host(setup):
     # misses return zeros / -1
     assert (np.asarray(model)[~hit] == 0).all()
     assert (np.asarray(n_raw)[~hit] == 0).all()
+
+
+def test_chunk_culling_preserves_hits():
+    """Spatially clustered chunks (the real layout: SAH leaf order) with rays
+    aimed so most blocks cull most chunks — results must equal the oracle,
+    including rays whose blocks cull EVERY chunk (guaranteed misses)."""
+    rng = np.random.default_rng(11)
+    t = 1200  # 3 chunks of 512 after padding
+    # three well-separated clusters along x, in triangle-index order
+    centers = np.repeat(np.array([[-20.0, 0, 0], [0, 0, 0], [20.0, 0, 0]]), 400, axis=0)
+    v0 = (centers + rng.uniform(-1, 1, (t, 3))).astype(np.float32)
+    v1 = v0 + rng.uniform(-0.2, 0.2, (t, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-0.2, 0.2, (t, 3)).astype(np.float32)
+    pos = np.stack([v0, v1, v2], axis=1)
+    tri = dict(tri_mod.precompute(pos))
+    tri["packed"] = jnp.asarray(pack_tris(tri))
+    dense_pl = {
+        "w": jnp.asarray(pack_dense_pl(tri)),
+        "aux": jnp.asarray(pack_dense_pl_aux(tri)),
+        "cab": jnp.asarray(pack_dense_pl_cab(pos)),
+    }
+    n = 512  # two full blocks
+    # block 0: rays near the middle cluster pointing +y-ish (hits only mid);
+    # block 1: rays far away pointing AWAY from everything (all-cull path)
+    o = np.concatenate([
+        rng.uniform(-1.5, 1.5, (256, 3)),
+        rng.uniform(99.0, 100.0, (256, 3)),
+    ]).astype(np.float32)
+    d = np.concatenate([
+        rng.normal(0, 1, (256, 3)),
+        np.abs(rng.normal(0, 1, (256, 3))),  # +octant, away from clusters
+    ]).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tlim = jnp.full(n, 1e30, jnp.float32)
+
+    bb, bt, bu, bv = brute_force_closest(tri, o, d, tlim)
+    pb, pt, pu, pv = dense_pl_closest_hit(dense_pl, o, d, tlim)
+    np.testing.assert_array_equal(np.asarray(bb), np.asarray(pb))
+    hit = np.asarray(bb) >= 0
+    assert hit.any() and not hit[256:].any()
+    np.testing.assert_allclose(np.asarray(bt)[hit], np.asarray(pt)[hit], rtol=2e-4, atol=5e-6)
+    # any-hit agrees with closest-hit hit/miss under the same limits
+    np.testing.assert_array_equal(
+        np.asarray(dense_pl_any_hit(dense_pl, o, d, tlim)), hit
+    )
+
+
+def test_culling_survives_nan_dead_lanes(setup):
+    """Integrator dead/regen lanes carry t_limit = 0 and sometimes NaN
+    origin/direction. They must not poison the block's culling bounds
+    (regression: one NaN lane collapsed the interval test and culled every
+    chunk for the 255 live lanes sharing its block, brightening renders)."""
+    tri, dense_pl, o, d = setup
+    n = o.shape[0]
+    lim = jnp.full(n, 1e30, jnp.float32)
+    ref = dense_pl_closest_hit(dense_pl, o, d, lim)
+
+    bad = np.zeros(n, bool)
+    bad[::7] = True  # scattered through every block
+    o2 = np.asarray(o).copy()
+    d2 = np.asarray(d).copy()
+    o2[bad] = np.nan
+    d2[bad] = np.nan
+    lim2 = np.where(bad, 0.0, 1e30).astype(np.float32)
+    got = dense_pl_closest_hit(dense_pl, jnp.asarray(o2), jnp.asarray(d2), jnp.asarray(lim2))
+
+    good = ~bad
+    np.testing.assert_array_equal(np.asarray(ref[0])[good], np.asarray(got[0])[good])
+    hit = np.asarray(ref[0])[good] >= 0
+    np.testing.assert_array_equal(np.asarray(ref[1])[good][hit], np.asarray(got[1])[good][hit])
+    # NaN lanes themselves report a miss
+    assert (np.asarray(got[0])[bad] == -1).all()
 
 
 def test_t_limit_respected(setup):
