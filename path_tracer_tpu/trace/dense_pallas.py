@@ -341,7 +341,12 @@ def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
     gl_win = jnp.where(best_t < _BIG, gl_win, -1.0)
 
     # --- epilogue: fetch the winner's aux row with chunked one-hot MXU dots
-    # (VMEM-resident; nothing travels through HBM) ---
+    # (VMEM-resident; nothing travels through HBM). Gated to the block's
+    # winner index RANGE via two scalar reduces: winners cluster spatially,
+    # so typically 1-3 chunks run instead of every visited chunk. ---
+    win_min = jnp.min(jnp.where(gl_win >= 0.0, gl_win, jnp.float32(_BIG)))
+    win_max = jnp.max(gl_win)  # -1 if the block has no winner at all
+
     def fetch(c, acc):
         c0 = c * ch
         lanes = jax.lax.broadcasted_iota(jnp.int32, (b, ch), 1).astype(jnp.float32) + jnp.float32(c0)
@@ -352,8 +357,12 @@ def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
             precision=_HI, preferred_element_type=jnp.float32,
         )
 
-    # winners can only live in visited chunks, so the fetch reuses the mask
-    row = _chunk_sweep(chunks, fetch, jnp.zeros((b, AUX_COLS), jnp.float32), mask)
+    def gated_fetch(c, acc):
+        c0f = jnp.float32(c * ch) if isinstance(c, int) else (c * ch).astype(jnp.float32)
+        need = (win_max >= c0f) & (win_min < c0f + jnp.float32(ch))
+        return jax.lax.cond(need, lambda a: fetch(c, a), lambda a: a, acc)
+
+    row = _chunk_sweep(chunks, gated_fetch, jnp.zeros((b, AUX_COLS), jnp.float32))
 
     # Exact winner t/u/v — same expression order as traversal._tri_intersect.
     ox, oy, oz = rays_ref[:, 3:4], rays_ref[:, 4:5], rays_ref[:, 5:6]
