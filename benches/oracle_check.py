@@ -1,0 +1,110 @@
+"""f64 intersection oracle vs the device traversal engines (run on TPU).
+
+The CPU test suite runs the Pallas kernels under the interpreter, which
+evaluates in exact f32 — it CANNOT catch TPU-only precision regressions in
+the Mosaic-lowered matmuls. This script renders no images; it shoots camera
+rays at fine geometry (the precision worst case: origins ~1e3 from small
+triangles) and compares winning triangle / t against an all-pairs f64
+Moller-Trumbore oracle.
+
+History: dense-engine matmuls at Precision.DEFAULT picked the wrong winner
+for 81% of rays on an 82K-tri mesh (renders leaked light, cornell_specular
+14x too bright). Precision.HIGHEST gives 100% agreement. Run this after any
+kernel/precision change:
+
+    python benches/oracle_check.py            # exits nonzero on failure
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def f64_oracle(pos64, o, d, eps=5e-4):
+    import numpy as np
+
+    v0 = pos64[:, 0]
+    e1 = pos64[:, 1] - v0
+    e2 = pos64[:, 2] - v0
+    n = len(o)
+    best_t = np.full(n, np.inf)
+    best_i = np.full(n, -1)
+    B = 64
+    for s in range(0, n, B):
+        ob, db = o[s : s + B], d[s : s + B]
+        p = np.cross(db[:, None, :], e2[None, :, :])
+        det = np.einsum("btk,tk->bt", p, e1)
+        safe = np.where(det == 0, 1, det)
+        tv = ob[:, None, :] - v0[None, :, :]
+        u = np.einsum("btk,btk->bt", p, tv) / safe
+        q = np.cross(tv, e1[None, :, :])
+        v = np.einsum("btk,bk->bt", q, db) / safe
+        t = np.einsum("btk,tk->bt", q, e2) / safe
+        ok = (np.abs(det) > 1e-300) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > eps)
+        t = np.where(ok, t, np.inf)
+        bi = t.argmin(axis=1)
+        bt = t[np.arange(len(ob)), bi]
+        best_t[s : s + B] = bt
+        best_i[s : s + B] = np.where(np.isfinite(bt), bi, -1)
+    return best_i, best_t
+
+
+def main():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from path_tracer_tpu import scenes
+
+    failures = 0
+    for scene_name, sub in [("mesh_scene", 4), ("mesh_scene", 6)]:
+        sh, cam = scenes.mesh_scene(subdivisions=sub)
+        scene = sh.device()
+        pos64 = sh.tri["positions"].astype(np.float64)
+        T = pos64.shape[0]
+        rng = np.random.default_rng(5)
+        n = 512
+        org = np.asarray(cam.origin, np.float64)
+        tgt = pos64[rng.integers(0, T, n)].mean(axis=1)
+        d = tgt - org
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o = np.broadcast_to(org, d.shape)
+        oi, ot = f64_oracle(pos64, o, d)
+
+        lim = jnp.full(n, 3e38, jnp.float32)
+        oj, dj = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+        tri = scene["tri"]
+        if "dense_pl" in tri:
+            from path_tracer_tpu.trace.dense_pallas import dense_pl_closest_hit
+
+            gi, gt, _, _ = dense_pl_closest_hit(tri["dense_pl"], oj, dj, lim)
+            engine = "dense_pl"
+        elif "dense_pl_parts" in tri:
+            from path_tracer_tpu.trace.dense_pallas import dense_pl_parts_closest_hit
+
+            gi, gt, _, _ = dense_pl_parts_closest_hit(tri["dense_pl_parts"], oj, dj, lim)
+            engine = "dense_pl_parts"
+        else:
+            from path_tracer_tpu.trace.traversal import closest_hit
+
+            gi, gt, _, _ = closest_hit(scene["bvh"], tri, oj, dj, lim)
+            engine = "stack/stream"
+        gi, gt = np.asarray(gi), np.asarray(gt)
+        match = float((gi == oi).mean())
+        both = (oi >= 0) & (gi >= 0)
+        terr = np.abs(gt[both] - ot[both]) / np.maximum(ot[both], 1.0)
+        med = float(np.median(terr)) if both.any() else 0.0
+        ok = match >= 0.995 and med < 1e-5
+        failures += 0 if ok else 1
+        print(
+            f"{scene_name}[sub={sub}] {T} tris via {engine}: winner match "
+            f"{match*100:.2f}%, t relerr med {med:.2e} -> {'OK' if ok else 'FAIL'}",
+            flush=True,
+        )
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

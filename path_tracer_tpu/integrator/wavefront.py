@@ -99,6 +99,13 @@ def _world_closest(scene, o, d, lim):
 
         ti, t, u, v, n_raw, model = dense_pl_closest_hit_shade(tri["dense_pl"], o, d, lim)
         return ti, t, u, v, jnp.full_like(ti, -1), {"n_raw": n_raw, "model": model}
+    if "dense_pl_parts" in tri:
+        from path_tracer_tpu.trace.dense_pallas import dense_pl_parts_closest_hit_shade
+
+        ti, t, u, v, n_raw, model = dense_pl_parts_closest_hit_shade(
+            tri["dense_pl_parts"], o, d, lim
+        )
+        return ti, t, u, v, jnp.full_like(ti, -1), {"n_raw": n_raw, "model": model}
     ti, t, u, v = closest_hit(scene["bvh"], tri, o, d, lim)
     return ti, t, u, v, jnp.full_like(ti, -1), None
 
@@ -705,7 +712,8 @@ def render_film(
     if tile_lanes is None:
         if stream_engine:
             tile_lanes = TILE_LANES_STREAM
-        elif "dense" in scene["tri"] or "dense_pl" in scene["tri"]:
+        elif ("dense" in scene["tri"] or "dense_pl" in scene["tri"]
+                or "dense_pl_parts" in scene["tri"]):
             tile_lanes = TILE_LANES
         else:
             tile_lanes = TILE_LANES_GATHER

@@ -236,9 +236,11 @@ class Scene:
         from path_tracer_tpu.trace.dense import DENSE_MAX_TRIS, pack_dense
         from path_tracer_tpu.trace.dense_pallas import (
             DENSE_PL_MAX_TRIS,
+            DENSE_PL_SPLIT_MAX_TRIS,
             pack_dense_pl,
             pack_dense_pl_aux,
             pack_dense_pl_cab,
+            pack_dense_pl_parts,
         )
 
         if "stream_static" not in data["bvh"] and "stream" not in data["bvh"]:
@@ -255,6 +257,18 @@ class Scene:
                     # SAH leaf order, so chunks are spatial clusters)
                     "cab": jnp.asarray(pack_dense_pl_cab(self.tri["positions"])),
                 }
+            elif (jax.default_backend() == "tpu"
+                    and self.num_world_tris <= DENSE_PL_SPLIT_MAX_TRIS):
+                # 16K-64K tris: chained <=16K Pallas sub-tables (a single
+                # bigger table overflows scoped VMEM; the XLA engines are
+                # ~50x slower here)
+                data["tri"]["dense_pl_parts"] = [
+                    {k: (jnp.asarray(v) if k != "base" else v) for k, v in p.items()}
+                    for p in pack_dense_pl_parts(
+                        self.tri, self.tri["normals"].reshape(t, 9),
+                        self.tri["model"], self.tri["positions"],
+                    )
+                ]
             elif self.num_world_tris <= DENSE_MAX_TRIS:
                 data["tri"]["dense"] = {
                     k: jnp.asarray(v) for k, v in pack_dense(self.tri).items()

@@ -58,22 +58,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 from path_tracer_tpu.core.constants import EPSILON
 
-# Table capacity. VMEM budget at 16K tris: W [8, 6*T'] = 3 MB + aux
+# Per-table capacity. VMEM budget at 16K tris: W [8, 6*T'] = 3 MB + aux
 # [T', 24] = 1.5 MB + the [B, 6*ch] matmul tile (3 MB) and [B, ch] working
-# set — comfortably inside v5e's 16 MB VMEM. (Scenes above the cap fall back
-# to stack traversal; every BASELINE config fits.)
+# set — comfortably inside v5e's 16 MB scoped VMEM. (32K in ONE table was
+# measured to overflow the scoped-vmem stack by ~150-360 KB even at
+# B=128/unroll=1; bigger scenes instead SPLIT into chained <=16K sub-tables,
+# see `pack_dense_pl_parts` — parts follow SAH order, so they are spatial
+# clusters and block culling prunes whole parts.)
 DENSE_PL_MAX_TRIS = 16384
+# Split engine capacity: parts of <=16K tris chained with shrinking t
+# windows. O(T) brute force degrades linearly, but stays ~4x the gather
+# stack engine even at 128K (measured 81K: parts 0.12 vs stack 0.03 Mrays/s).
+DENSE_PL_SPLIT_MAX_TRIS = 131072
 BLOCK = 256  # rays per grid step (sublane axis)
 UNROLL = 4  # chunk-loop unroll group (bounds Mosaic's stack frame)
 _BIG = 1e30  # "no winner" sentinel for the final argmin (python float)
 AUX_COLS = 24  # n0(3) d0 n1(3) d1 n2(3) d2 | na nb nc (9) | model | pad(2)
-# Matmul precision for in-kernel dots. MEASURED (v5e): HIGHEST (6-pass
-# bf16x3) costs ~2x DEFAULT here and changes nothing observable: Mosaic's
-# DEFAULT f32 dot is multi-pass (NOT single-pass bf16 — verified by the
-# epilogue's one-hot fetch returning table values bit-exactly, which a
-# bf16-rounded pass cannot do), so the search terms are f32-faithful to
-# ~1 ulp and the winner's exact t/u/v come from the f32 VPU divide anyway.
-_HI = jax.lax.Precision.DEFAULT
+# Matmul precision for in-kernel dots. HIGHEST is REQUIRED for correctness,
+# not an accuracy nicety (measured on v5e, 2026-08-17): the o-dependent dot
+# families (td = d0 - o.n0, q1/q2) cancel catastrophically — terms are
+# O(|o|*|n|) ~ 1e3-1e5 collapsing to O(plane distance) — and DEFAULT's
+# truncated bf16 passes leave relative errors ~1e-4 on them. Against an f64
+# oracle on an 81K-tri mesh, DEFAULT picked the WRONG winning triangle for
+# 81% of camera rays (median t relerr 6e-4); renders leaked light through
+# geometry (cornell_specular measured 14x too bright). HIGHEST (bf16x6)
+# restores f32-faithful dots: 100% oracle winner agreement, t relerr ~6e-8,
+# and the dense-engine image agrees with the independent stream/stack
+# engines. (The earlier "DEFAULT is f32-faithful" note here generalized
+# wrongly from the one-hot epilogue fetch, whose single-product sums are
+# exact in ANY precision.)
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _chunk_width(n_tris: int) -> int:
@@ -172,7 +186,7 @@ def pack_dense_pl_cab(positions: np.ndarray) -> np.ndarray:
     return cab
 
 
-def _block_bits(rays: jnp.ndarray, cab: jnp.ndarray) -> jnp.ndarray:
+def _block_bits(rays: jnp.ndarray, cab: jnp.ndarray, block: int = BLOCK) -> jnp.ndarray:
     """Per-block visit bitmask ``[nb, 1]`` int32 over the chunk AABBs.
 
     Conservative interval slab test: for ray-block bounds (origins in
@@ -190,8 +204,8 @@ def _block_bits(rays: jnp.ndarray, cab: jnp.ndarray) -> jnp.ndarray:
     near-degenerate (tiny-det) intersection whose EXACT t lies outside the
     window; culling excludes it. The culled answer is the geometrically
     faithful one; the discrepancy is far below Monte-Carlo noise."""
-    nb = rays.shape[0] // BLOCK
-    blk = rays.reshape(nb, BLOCK, 8)
+    nb = rays.shape[0] // block
+    blk = rays.reshape(nb, block, 8)
     d, o, tl = blk[:, :, 0:3], blk[:, :, 3:6], blk[:, :, 7]
     # Rays that cannot hit anything must not poison the block bounds: the
     # integrator's dead/regen lanes carry t_limit = 0 and occasionally NaN
@@ -230,10 +244,17 @@ def _block_bits(rays: jnp.ndarray, cab: jnp.ndarray) -> jnp.ndarray:
     hi = jnp.minimum(t_hi.min(axis=-1), tmax[:, None] * 1.00002 + 1e-5)
     vis = (lo <= hi) & valid.any(axis=1)  # all-dead blocks visit nothing
     chunks = cab.shape[0]
-    bits = (vis.astype(jnp.int32) << jnp.arange(chunks, dtype=jnp.int32)[None, :]).sum(
-        axis=1, dtype=jnp.int32
+    # pack into 32-bit words: [nb, ceil(chunks/32)] (chunk c -> word c>>5,
+    # bit c&31)
+    words = -(-chunks // 32)
+    pad = words * 32 - chunks
+    if pad:
+        vis = jnp.concatenate([vis, jnp.zeros((nb, pad), bool)], axis=1)
+    vis = vis.reshape(nb, words, 32)
+    bits = (vis.astype(jnp.int32) << jnp.arange(32, dtype=jnp.int32)).sum(
+        axis=-1, dtype=jnp.int32
     )
-    return bits[:, None]
+    return bits  # [nb, words]
 
 
 def _same(a, b):
@@ -270,30 +291,40 @@ def _load_once(pairs):
             dma.wait()
 
 
-def _chunk_sweep(chunks, step, carry, mask=None):
-    """Run ``step(c_index, carry)`` over all chunks: head unrolled, tail in a
-    fori_loop over UNROLL-groups (bounds the kernel's VMEM stack frame).
+def _mask_bit(bits_ref, c):
+    """Visit bit for chunk ``c`` from the per-block SMEM mask words."""
+    pid = pl.program_id(0)
+    if isinstance(c, int):
+        word = bits_ref[pid, c // 32]
+        return jax.lax.shift_right_logical(word, c % 32) & 1
+    word = bits_ref[pid, jax.lax.shift_right_logical(c, 5)]
+    return jax.lax.shift_right_logical(word, c & 31) & 1
 
-    ``mask`` (scalar int32 bitmask, bit c = visit chunk c) skips whole chunk
-    steps via real control flow (``lax.cond`` -> scf.if): a skipped chunk
-    costs ~nothing — this is where block-level culling turns into saved
-    cycles, unlike lane masking which still executes every op."""
-    if mask is not None:
+
+def _chunk_sweep(chunks, step, carry, bit_fn=None, unroll=UNROLL):
+    """Run ``step(c_index, carry)`` over all chunks: head unrolled, tail in a
+    fori_loop over ``unroll``-groups (bounds the kernel's VMEM stack frame —
+    big tables drop to unroll=1 or the scoped-vmem stack overflows).
+
+    ``bit_fn(c)`` (scalar 0/1 per chunk) skips whole chunk steps via real
+    control flow (``lax.cond`` -> scf.if): a skipped chunk costs ~nothing —
+    this is where block-level culling turns into saved cycles, unlike lane
+    masking which still executes every op."""
+    if bit_fn is not None:
         inner = step
 
         def step(c, s):  # noqa: F811 — deliberate shadowing wrapper
-            bit = jax.lax.shift_right_logical(mask, c) & 1
-            return jax.lax.cond(bit != 0, lambda s_: inner(c, s_), lambda s_: s_, s)
+            return jax.lax.cond(bit_fn(c) != 0, lambda s_: inner(c, s_), lambda s_: s_, s)
 
-    head = chunks % UNROLL if chunks > UNROLL else chunks
+    head = chunks % unroll if chunks > unroll else chunks
     for c in range(head):
         carry = step(c, carry)
-    ngroups = (chunks - head) // UNROLL
+    ngroups = (chunks - head) // unroll
     if ngroups:
 
         def gbody(g, s):
-            for k in range(UNROLL):
-                s = step(head + g * UNROLL + k, s)
+            for k in range(unroll):
+                s = step(head + g * unroll + k, s)
             return s
 
         carry = jax.lax.fori_loop(0, ngroups, gbody, carry)
@@ -301,9 +332,9 @@ def _chunk_sweep(chunks, step, carry, mask=None):
 
 
 def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
-                    sem, sem2, *, chunks, ch):
+                    sem, sem2, *, chunks, ch, unroll=UNROLL):
     _load_once([(w_hbm, w_vmem, sem), (a_hbm, a_vmem, sem2)])
-    mask = bits_ref[pl.program_id(0), 0]
+    mask = functools.partial(_mask_bit, bits_ref)
     rays8 = rays_ref[...]  # [B, 8] = dx dy dz ox oy oz 1 tlim
     tlim = rays_ref[:, 7:8]
     b = rays8.shape[0]
@@ -337,7 +368,7 @@ def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
         jnp.full((b, 1), _BIG, jnp.float32),
         jnp.full((b, 1), -1.0, jnp.float32),
     )
-    best_t, gl_win = _chunk_sweep(chunks, step, carry0, mask)
+    best_t, gl_win = _chunk_sweep(chunks, step, carry0, mask, unroll)
     gl_win = jnp.where(best_t < _BIG, gl_win, -1.0)
 
     # --- epilogue: fetch the winner's aux row with chunked one-hot MXU dots
@@ -362,7 +393,7 @@ def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
         need = (win_max >= c0f) & (win_min < c0f + jnp.float32(ch))
         return jax.lax.cond(need, lambda a: fetch(c, a), lambda a: a, acc)
 
-    row = _chunk_sweep(chunks, gated_fetch, jnp.zeros((b, AUX_COLS), jnp.float32))
+    row = _chunk_sweep(chunks, gated_fetch, jnp.zeros((b, AUX_COLS), jnp.float32), unroll=unroll)
 
     # Exact winner t/u/v — same expression order as traversal._tri_intersect.
     ox, oy, oz = rays_ref[:, 3:4], rays_ref[:, 4:5], rays_ref[:, 5:6]
@@ -396,12 +427,13 @@ def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
     out_ref[:, 7:8] = col(21)  # model id
 
 
-def _any_kernel(rays_ref, bits_ref, w_hbm, out_ref, w_vmem, sem, *, chunks, ch):
+def _any_kernel(rays_ref, bits_ref, w_hbm, out_ref, w_vmem, sem, *, chunks, ch,
+                unroll=UNROLL):
     """Shadow test: division-free via the sign-consistent t-window check
     (sweep.py's c1 with t_est = 0): hit iff
     sign(td - det*eps) == sign(det*tlim - td)."""
     _load_once([(w_hbm, w_vmem, sem)])
-    mask = bits_ref[pl.program_id(0), 0]
+    mask = functools.partial(_mask_bit, bits_ref)
     rays8 = rays_ref[...]
     tlim = rays_ref[:, 7:8]
     b = rays8.shape[0]
@@ -417,7 +449,7 @@ def _any_kernel(rays_ref, bits_ref, w_hbm, out_ref, w_vmem, sem, *, chunks, ch):
         # and small carries beat elementwise [B,ch] ones (see closest).
         return jnp.maximum(found, jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True))
 
-    any_f = _chunk_sweep(chunks, step, jnp.zeros((b, 1), jnp.float32), mask)
+    any_f = _chunk_sweep(chunks, step, jnp.zeros((b, 1), jnp.float32), mask, unroll)
     out_ref[:, 0:1] = any_f
     out_ref[:, 1:8] = jnp.zeros((b, 7), jnp.float32)
 
@@ -448,6 +480,20 @@ def _pack_rays(origin, direction, t_limit, block):
     return rays, n
 
 
+def _block_for(tp: int) -> int:
+    """Rays per grid step. Big tables (>16K tris) shrink the ray block so the
+    kernel's scoped-VMEM stack (the [B, 6*ch] matmul tile + combine temps)
+    fits beside the W+aux scratch: at 20K tris, B=256 overflows v5e's 16 MB
+    scoped limit by ~360 KB; B=128 halves the working set."""
+    return 128 if tp > 16384 else BLOCK
+
+
+def _unroll_for(tp: int) -> int:
+    """Chunk-loop unroll: each unrolled step instance holds a live [B, 6*ch]
+    tile in the scoped-VMEM stack, so big tables must not unroll."""
+    return 1 if tp > 16384 else UNROLL
+
+
 def _geom(tab_w):
     """(chunks, ch) from the packed W table. T' = cols/6; the pack-time chunk
     width is recoverable because T' is a multiple of it: 128/256 exactly for
@@ -457,32 +503,34 @@ def _geom(tab_w):
     return tp // ch, ch
 
 
-def _visit_bits(rays, cab):
-    """Bitmask [nb, 1] — all-ones when no chunk AABBs are provided."""
-    nb = rays.shape[0] // BLOCK
+def _visit_bits(rays, cab, chunks, block):
+    """Bitmask [nb, words] — all-ones when no chunk AABBs are provided."""
+    nb = rays.shape[0] // block
     if cab is None:
-        return jnp.full((nb, 1), -1, jnp.int32)
-    return _block_bits(rays, cab)
+        return jnp.full((nb, -(-chunks // 32)), -1, jnp.int32)
+    return _block_bits(rays, cab, block)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _closest_call(w, aux, cab, origin, direction, t_limit, interpret: bool):
-    rays, n = _pack_rays(origin, direction, t_limit, BLOCK)
-    np_total = rays.shape[0]
     chunks, ch = _geom(w)
-    bits = _visit_bits(rays, cab)
+    blk = _block_for(chunks * ch)
+    rays, n = _pack_rays(origin, direction, t_limit, blk)
+    np_total = rays.shape[0]
+    bits = _visit_bits(rays, cab, chunks, blk)
 
     out = pl.pallas_call(
-        functools.partial(_closest_kernel, chunks=chunks, ch=ch),
+        functools.partial(_closest_kernel, chunks=chunks, ch=ch,
+                          unroll=_unroll_for(chunks * ch)),
         out_shape=jax.ShapeDtypeStruct((np_total, 8), jnp.float32),
-        grid=(np_total // BLOCK,),
+        grid=(np_total // blk,),
         in_specs=[
-            pl.BlockSpec((BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM(w.shape, jnp.float32),
             pltpu.VMEM(aux.shape, jnp.float32),
@@ -496,21 +544,23 @@ def _closest_call(w, aux, cab, origin, direction, t_limit, interpret: bool):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _any_call(w, cab, origin, direction, t_limit, interpret: bool):
-    rays, n = _pack_rays(origin, direction, t_limit, BLOCK)
-    np_total = rays.shape[0]
     chunks, ch = _geom(w)
-    bits = _visit_bits(rays, cab)
+    blk = _block_for(chunks * ch)
+    rays, n = _pack_rays(origin, direction, t_limit, blk)
+    np_total = rays.shape[0]
+    bits = _visit_bits(rays, cab, chunks, blk)
 
     out = pl.pallas_call(
-        functools.partial(_any_kernel, chunks=chunks, ch=ch),
+        functools.partial(_any_kernel, chunks=chunks, ch=ch,
+                          unroll=_unroll_for(chunks * ch)),
         out_shape=jax.ShapeDtypeStruct((np_total, 8), jnp.float32),
-        grid=(np_total // BLOCK,),
+        grid=(np_total // blk,),
         in_specs=[
-            pl.BlockSpec((BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM(w.shape, jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -554,3 +604,72 @@ def dense_pl_any_hit(dense_pl: dict, origin, direction, t_limit):
         interpret=_interpret_default(),
     )
     return out[:, 0] > 0.0
+
+
+# --- split engine: scenes above DENSE_PL_MAX_TRIS as chained <=16K parts ---
+
+
+def pack_dense_pl_parts(tri: dict, normals_flat, model, positions,
+                        part_tris: int = DENSE_PL_MAX_TRIS) -> list[dict]:
+    """Split a >16K-tri soup (in SAH order) into contiguous <=16K parts, each
+    packed as a full single-table engine plus its global ``base`` offset.
+
+    One 32K table was measured to overflow v5e's 16 MB scoped VMEM even at
+    reduced block/unroll; K chained kernel launches reuse the proven 16K
+    kernel unchanged. SAH order makes parts spatial clusters, so per-part
+    chunk culling (and the shrinking t window passed part-to-part) prunes
+    later parts cheaply."""
+    t = np.asarray(tri["n0"]).shape[0]
+    n_parts = -(-t // part_tris)
+    per = -(-t // n_parts)
+    parts = []
+    for k in range(n_parts):
+        lo, hi = k * per, min((k + 1) * per, t)
+        sub = {key: np.asarray(tri[key])[lo:hi] for key in ("n0", "d0", "n1", "d1", "n2", "d2")}
+        parts.append({
+            "w": pack_dense_pl(sub),
+            "aux": pack_dense_pl_aux(
+                sub,
+                None if normals_flat is None else np.asarray(normals_flat)[lo:hi],
+                None if model is None else np.asarray(model)[lo:hi],
+            ),
+            "cab": pack_dense_pl_cab(np.asarray(positions)[lo:hi]),
+            "base": lo,
+        })
+    return parts
+
+
+def dense_pl_parts_closest_hit_shade(parts: list, origin, direction, t_limit):
+    """Chained closest hit over sub-tables: each part searches inside the
+    running t window (strict ``t < window``, so ties resolve to the earlier
+    part = lower global index, matching the single-table rule)."""
+    n = origin.shape[0]
+    best = jnp.full(n, -1, jnp.int32)
+    u = jnp.zeros(n, jnp.float32)
+    v = jnp.zeros(n, jnp.float32)
+    normal = jnp.zeros((n, 3), jnp.float32)
+    model = jnp.zeros(n, jnp.int32)
+    t_cur = t_limit
+    for p in parts:
+        b_, t_, u_, v_, n_, m_ = dense_pl_closest_hit_shade(p, origin, direction, t_cur)
+        hit = b_ >= 0
+        best = jnp.where(hit, b_ + p["base"], best)
+        u = jnp.where(hit, u_, u)
+        v = jnp.where(hit, v_, v)
+        normal = jnp.where(hit[:, None], n_, normal)
+        model = jnp.where(hit, m_, model)
+        t_cur = t_  # = min(prev window, this part's best) by contract
+    return best, t_cur, u, v, normal, model
+
+
+def dense_pl_parts_closest_hit(parts: list, origin, direction, t_limit):
+    best, t, u, v, _, _ = dense_pl_parts_closest_hit_shade(parts, origin, direction, t_limit)
+    return best, t, u, v
+
+
+def dense_pl_parts_any_hit(parts: list, origin, direction, t_limit):
+    found = None
+    for p in parts:
+        f = dense_pl_any_hit(p, origin, direction, t_limit)
+        found = f if found is None else (found | f)
+    return found

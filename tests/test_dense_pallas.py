@@ -34,6 +34,7 @@ def setup():
     tri["packed"] = jnp.asarray(pack_tris(tri))
     tri["normals_flat"] = rng.normal(size=(t, 9)).astype(np.float32)
     tri["model"] = rng.integers(0, 5, t).astype(np.int32)
+    tri["positions"] = pos
     dense_pl = {
         "w": jnp.asarray(pack_dense_pl(tri)),
         "aux": jnp.asarray(pack_dense_pl_aux(tri, tri["normals_flat"], tri["model"])),
@@ -158,6 +159,37 @@ def test_chunk_culling_preserves_hits():
     # any-hit agrees with closest-hit hit/miss under the same limits
     np.testing.assert_array_equal(
         np.asarray(dense_pl_any_hit(dense_pl, o, d, tlim)), hit
+    )
+
+
+def test_parts_engine_matches_single_table(setup):
+    """The chained <=16K-part engine (>16K-tri scenes) returns the same
+    winners/t/shading as one table over the same soup — global index offsets,
+    the shrinking t window, and cross-part tie order (earlier part wins)."""
+    from path_tracer_tpu.trace.dense_pallas import (
+        dense_pl_parts_any_hit,
+        dense_pl_parts_closest_hit_shade,
+        pack_dense_pl_parts,
+    )
+
+    tri, dense_pl, o, d = setup
+    parts = pack_dense_pl_parts(
+        tri, tri["normals_flat"], tri["model"],
+        tri["positions"], part_tris=256,  # forces 3 parts of the 700 tris
+    )
+    assert len(parts) == 3
+    parts = [{k: (jnp.asarray(v) if k != "base" else v) for k, v in p.items()} for p in parts]
+    tlim = jnp.full(o.shape[0], 1e30, jnp.float32)
+    sb, st, su, sv, sn, sm = dense_pl_closest_hit_shade(dense_pl, o, d, tlim)
+    pb, pt, pu, pv, pn, pm = dense_pl_parts_closest_hit_shade(parts, o, d, tlim)
+    np.testing.assert_array_equal(np.asarray(sb), np.asarray(pb))
+    hit = np.asarray(sb) >= 0
+    np.testing.assert_allclose(np.asarray(st)[hit], np.asarray(pt)[hit], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sm)[hit], np.asarray(pm)[hit])
+    np.testing.assert_allclose(np.asarray(sn)[hit], np.asarray(pn)[hit], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(dense_pl_any_hit(dense_pl, o, d, tlim)),
+        np.asarray(dense_pl_parts_any_hit(parts, o, d, tlim)),
     )
 
 
