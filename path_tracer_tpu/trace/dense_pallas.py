@@ -88,6 +88,9 @@ AUX_COLS = 24  # n0(3) d0 n1(3) d1 n2(3) d2 | na nb nc (9) | model | pad(2)
 # wrongly from the one-hot epilogue fetch, whose single-product sums are
 # exact in ANY precision.)
 _HI = jax.lax.Precision.HIGHEST
+# Search-term evaluator: VPU componentwise (exact f32 FMA) vs HIGHEST MXU
+# matmul (bf16x6, f32-faithful). Both pass the f64 oracle; pick by speed.
+USE_VPU_TERMS = True
 
 
 def _chunk_width(n_tris: int) -> int:
@@ -261,6 +264,27 @@ def _same(a, b):
     return (a >= 0.0) == (b >= 0.0)
 
 
+def _chunk_terms_vpu(w_vmem, rays8, c, ch):
+    """Exact-f32 componentwise dot families on the VPU (FMA, no bf16
+    decomposition) — an alternative to the HIGHEST matmul with identical
+    precision class (true f32). Reads component rows out of the SAME W
+    layout: n0 = det-family rows 0..2, d0 = td-family row 6, n1 = r1-family
+    rows 0..2, d1 = q1-family row 6, n2/d2 likewise."""
+    c0 = c * 6 * ch
+    row = lambda r, q: w_vmem[r : r + 1, pl.ds(c0 + q * ch, ch)]  # [1, ch]
+    dx, dy, dz = rays8[:, 0:1], rays8[:, 1:2], rays8[:, 2:3]
+    ox, oy, oz = rays8[:, 3:4], rays8[:, 4:5], rays8[:, 5:6]
+    n0x, n0y, n0z = row(0, 0), row(1, 0), row(2, 0)
+    d0 = row(6, 1)
+    det = dx * n0x + dy * n0y + dz * n0z
+    td = d0 - (ox * n0x + oy * n0y + oz * n0z)
+    n1x, n1y, n1z, d1 = row(0, 3), row(1, 3), row(2, 3), row(6, 2)
+    ud = det * ((ox * n1x + oy * n1y + oz * n1z) + d1) + td * (dx * n1x + dy * n1y + dz * n1z)
+    n2x, n2y, n2z, d2 = row(0, 5), row(1, 5), row(2, 5), row(6, 4)
+    vd = det * ((ox * n2x + oy * n2y + oz * n2z) + d2) + td * (dx * n2x + dy * n2y + dz * n2z)
+    return det, td, ud, vd
+
+
 def _chunk_terms(w_vmem, rays8, c, ch):
     """All six per-pair dot families for chunk ``c`` in one MXU matmul,
     then two FMA families on the VPU. Returns (det, td, ud, vd) as [B, ch]."""
@@ -348,7 +372,8 @@ def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
 
     def step(c, carry):
         best_t, best_gl = carry
-        det, td, ud, vd = _chunk_terms(w_vmem, rays8, c, ch)
+        terms = _chunk_terms_vpu if USE_VPU_TERMS else _chunk_terms
+        det, td, ud, vd = terms(w_vmem, rays8, c, ch)
         c2 = _same(ud, det - ud)
         c3 = _same(vd, det - ud - vd)
         safe = jnp.where(det == 0.0, 1.0, det)
@@ -383,6 +408,10 @@ def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
         lanes = jax.lax.broadcasted_iota(jnp.int32, (b, ch), 1).astype(jnp.float32) + jnp.float32(c0)
         oh = (lanes == gl_win).astype(jnp.float32)  # [B, ch]
         chunk = a_vmem[pl.ds(c0, ch), :]  # [ch, 24]
+        # HIGHEST is required even here: despite each output summing exactly
+        # one product, DEFAULT lowers to a single bf16 pass that truncates
+        # the fetched table VALUES to ~8 mantissa bits (measured t relerr
+        # 4e-4 vs 6e-8; the one-hot side is exact, the data side is not)
         return acc + jax.lax.dot_general(
             oh, chunk, (((1,), (0,)), ((), ())),
             precision=_HI, preferred_element_type=jnp.float32,
@@ -440,7 +469,8 @@ def _any_kernel(rays_ref, bits_ref, w_hbm, out_ref, w_vmem, sem, *, chunks, ch,
     eps = jnp.float32(EPSILON)
 
     def step(c, found):
-        det, td, ud, vd = _chunk_terms(w_vmem, rays8, c, ch)
+        terms = _chunk_terms_vpu if USE_VPU_TERMS else _chunk_terms
+        det, td, ud, vd = terms(w_vmem, rays8, c, ch)
         c1 = _same(td - det * eps, det * tlim - td)
         c2 = _same(ud, det - ud)
         c3 = _same(vd, det - ud - vd)
