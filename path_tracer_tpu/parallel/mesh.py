@@ -102,22 +102,34 @@ def render_spp_sharded(
     max_bounces: int = 64,
     enable_nee: bool = True,
     has_lights: bool = True,
+    spp: int = 1,
+    mtypes=None,
+    any_volumes: bool = True,
 ):
-    """Each device traces the whole film at ``base_sample + device_index``;
-    the radiance sums are reduced with one ``psum`` over ICI. Returns a
-    replicated ``[N, 4]`` accumulator delta (rgb sum + count)."""
+    """Each device traces the whole film at ``spp`` samples starting from
+    ``base_sample + device_index * spp``; the radiance sums are reduced with
+    one ``psum`` over ICI. Returns a replicated ``[N, 4]`` accumulator delta
+    (rgb sum + count). Carries the same static scene specialization knobs
+    (``mtypes``, ``any_volumes``) as the tile path so real multi-chip renders
+    compile the specialized program, not the generic one."""
     axis = mesh.axis_names[0]
     n = width * height
+
+    from path_tracer_tpu.integrator import bsdf as bsdf_mod
+
+    kinds = tuple(mtypes) if mtypes is not None else bsdf_mod.ALL_MTYPES
 
     def shard_fn(scene_rep, ndc, org):
         dev = jax.lax.axis_index(axis)
         lane = jnp.arange(n, dtype=jnp.uint32)
         rad, _, _, _ = trace_lanes(
-            scene_rep, ndc, org, jnp.uint32(base_sample) + dev.astype(jnp.uint32),
+            scene_rep, ndc, org,
+            jnp.uint32(base_sample) + dev.astype(jnp.uint32) * jnp.uint32(spp),
             lane, width, height,
             max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
+            spp=spp, mtypes=kinds, any_volumes=any_volumes,
         )
-        acc = jnp.concatenate([rad, jnp.ones((n, 1), jnp.float32)], axis=1)
+        acc = jnp.concatenate([rad, jnp.full((n, 1), spp, jnp.float32)], axis=1)
         return jax.lax.psum(acc, axis)
 
     fn = shard_map(

@@ -11,9 +11,10 @@ for rotations that aren't axis-aligned; here all 8 corners are mapped, giving
 a conservative (correct) world box. Images can only improve.
 
 The default rendering path remains the baked world BVH (`scene.Scene`); this
-mode exists for massive-instancing memory scaling and is exercised by the
-traversal parity tests. Integrator wiring (object-space shading-normal
-transforms in the wavefront loop) is the follow-up step.
+mode exists for massive-instancing memory scaling. It is fully wired into the
+wavefront integrator (``integrator/wavefront.py`` shades two-level hits with
+object->world normal transforms) and exercised by the traversal parity tests
+and the many-instance benchmark config.
 """
 
 from __future__ import annotations

@@ -48,3 +48,44 @@ def searchsorted_small(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """``searchsorted(cdf, u, side='left')`` as a vectorized count — no
     binary-search gathers. Intended for small CDFs (light tables)."""
     return jnp.sum(cdf[None, :] < u[:, None], axis=1).astype(jnp.int32)
+
+
+# Above this many CDF entries the flat [N, L] compare-count costs more than
+# the two-level segmented search (which replaces it with [N, L/SEG] + [N, SEG]
+# compares + one row fetch). 4K keeps the flat path for every Cornell-class
+# light table while mesh lights (thousands+ of emissive triangles,
+# light_sampler.rs:31-37 handles these with binary search) take the
+# segmented path.
+SEARCH_FLAT_MAX = 4096
+_SEG = 128
+
+
+def searchsorted_cdf(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Scalable ``searchsorted(cdf, u, side='left')`` for light CDFs.
+
+    Flat compare-count for small tables; for large ones a TWO-LEVEL search:
+    (1) count over the per-segment maxima (a [N, L/128] compare — the segment
+    holding the answer is the first whose max >= u), (2) fetch that segment's
+    128 entries with one `gather_rows` and count within. Exact same result as
+    the flat count for sorted ``cdf`` (the reference uses binary search,
+    light_sampler.rs:31-37; a bit-walk over gathers would be latency-bound on
+    TPU, while this is two dense compares + one row fetch)."""
+    l = cdf.shape[0]
+    if l <= SEARCH_FLAT_MAX:
+        return searchsorted_small(cdf, u)
+    nseg = -(-l // _SEG)
+    pad = nseg * _SEG - l
+    if pad:
+        # pad with a huge FINITE value: padded entries never compare < u (CDF
+        # probes are <= 1) and the padded segment maxima never attract a
+        # search. NOT inf — `gather_rows` is a one-hot matmul and 0 * inf
+        # from unselected pad rows would poison gathered columns with NaN
+        # (same pitfall as bvh.NO_CHILD_BOUND).
+        cdf = jnp.concatenate([cdf, jnp.full((pad,), 3.0e38, cdf.dtype)])
+    segs = cdf.reshape(nseg, _SEG)
+    seg_max = segs[:, -1]  # sorted => per-segment maximum
+    k = jnp.sum(seg_max[None, :] < u[:, None], axis=1).astype(jnp.int32)
+    k = jnp.minimum(k, nseg - 1)
+    rows = gather_rows(segs, k)  # [N, SEG]
+    within = jnp.sum(rows < u[:, None], axis=1).astype(jnp.int32)
+    return jnp.minimum(k * _SEG + within, l - 1)

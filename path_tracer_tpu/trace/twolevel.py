@@ -236,8 +236,141 @@ def closest_hit_twolevel(tlas_packed, blas_packed, inst_rows, tri_packed, origin
 
 @jax.jit
 def any_hit_twolevel(tlas_packed, blas_packed, inst_rows, tri_packed, origin, direction, t_limit):
-    """Shadow-ray variant: True where anything is hit within the limit."""
-    best, _, _, _, _ = closest_hit_twolevel(
-        tlas_packed, blas_packed, inst_rows, tri_packed, origin, direction, t_limit
+    """Shadow-ray variant with a TRUE first-hit early exit: a lane that finds
+    any intersection in ``(EPSILON, t_limit)`` immediately goes dead (its
+    stack is abandoned), matching ``BLAS::any_intersect``/``TLAS::any_intersect``
+    (blas.rs:257-294, tlas.rs:111-144) instead of paying full closest-hit
+    traversal. No near-first ordering is needed either — children are pushed
+    unordered like the single-level ``_any_hit_impl``."""
+    n = origin.shape[0]
+
+    PH_TLAS, PH_BLAS = 0, 1
+
+    state = dict(
+        phase=jnp.zeros(n, jnp.int32),
+        cur=jnp.zeros(n, jnp.int32),
+        cur_t=jnp.zeros(n, jnp.float32),
+        sp=jnp.zeros(n, jnp.int32),
+        sp_enter=jnp.zeros(n, jnp.int32),
+        stack_node=jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        stack_t=jnp.zeros((n, STACK_DEPTH), jnp.float32),
+        inst=jnp.full(n, -1, jnp.int32),
+        o2=origin,
+        d2=direction,
+        found=jnp.zeros(n, jnp.bool_),
     )
-    return best >= 0
+
+    def live(s):
+        return ((s["cur"] != _POP) | (s["sp"] > 0)) & ~s["found"]
+
+    def cond(s):
+        return jnp.any(live(s))
+
+    def step_phase(s, nodes_packed, o, d, in_phase):
+        cur, cur_t, sp = s["cur"], s["cur_t"], s["sp"]
+        stack_node, stack_t = s["stack_node"], s["stack_t"]
+        inv_d = 1.0 / d
+
+        floor = jnp.where(in_phase & (s["phase"] == PH_BLAS), s["sp_enter"], 0)
+        do_pop = in_phase & (cur == _POP) & (sp > floor)
+        sp_after = jnp.where(do_pop, sp - 1, sp)
+        popped = _stack_read(stack_node, sp_after)
+        popped_t = _stack_read(stack_t, sp_after)
+        cur = jnp.where(do_pop, popped, cur)
+        cur_t = jnp.where(do_pop, popped_t, cur_t)
+        sp = sp_after
+
+        is_internal = in_phase & (cur >= 0)
+        is_leaf = in_phase & (cur <= -2)
+
+        ni = jnp.where(is_internal, cur, 0)
+        rows = gather_rows(nodes_packed, ni)
+        ints = rows[:, 12:16].astype(jnp.int32)
+        results = []
+        for c in range(2):
+            cmin = rows[:, 6 * c : 6 * c + 3]
+            cmax = rows[:, 6 * c + 3 : 6 * c + 6]
+            cidx = ints[:, 2 * c]
+            ccount = ints[:, 2 * c + 1]
+            code = jnp.where(ccount > 0, _encode_leaf(cidx, ccount), cidx)
+            hit, t_en = _slab(cmin, cmax, o, inv_d, t_limit)
+            results.append((code, hit & (ccount != -1), t_en))
+        (code0, hit0, t0), (code1, hit1, t1) = results
+
+        both = hit0 & hit1
+        push = is_internal & both
+        stack_node = jnp.where(push[:, None], _stack_write(stack_node, sp, code1), stack_node)
+        stack_t = jnp.where(push[:, None], _stack_write(stack_t, sp, t1), stack_t)
+        sp = jnp.where(push, sp + 1, sp)
+        next_code = jnp.where(hit0, code0, jnp.where(hit1, code1, _POP))
+        next_t = jnp.where(hit0, t0, jnp.where(hit1, t1, 0.0))
+
+        cur_out = jnp.where(is_internal, next_code, cur)
+        cur_t_out = jnp.where(is_internal, next_t, cur_t)
+        return cur_out, cur_t_out, sp, stack_node, stack_t, is_leaf
+
+    def body(s):
+        phase = s["phase"]
+        in_tlas = (phase == PH_TLAS) & live(s)
+        in_blas = (phase == PH_BLAS) & live(s)
+
+        cur, cur_t, sp, stack_node, stack_t, tlas_leaf = step_phase(
+            s, tlas_packed, origin, direction, in_tlas
+        )
+        s = dict(s, cur=cur, cur_t=cur_t, sp=sp, stack_node=stack_node, stack_t=stack_t)
+
+        start, _count = _decode_leaf(jnp.where(tlas_leaf, s["cur"], -2))
+        inst_id = start
+        irows = gather_rows(inst_rows, jnp.where(tlas_leaf, inst_id, 0))
+        inv_tr = irows[:, 21:24]
+        root = irows[:, 24].astype(jnp.int32)
+
+        def rot_apply(v):
+            vx, vy, vz = v[:, 0], v[:, 1], v[:, 2]
+            return jnp.stack(
+                [
+                    irows[:, 9] * vx + irows[:, 10] * vy + irows[:, 11] * vz,
+                    irows[:, 12] * vx + irows[:, 13] * vy + irows[:, 14] * vz,
+                    irows[:, 15] * vx + irows[:, 16] * vy + irows[:, 17] * vz,
+                ],
+                axis=-1,
+            )
+
+        o_obj = rot_apply(origin) + inv_tr
+        d_obj = rot_apply(direction)
+
+        enter = tlas_leaf
+        s["phase"] = jnp.where(enter, PH_BLAS, s["phase"])
+        s["inst"] = jnp.where(enter, inst_id, s["inst"])
+        s["o2"] = jnp.where(enter[:, None], o_obj, s["o2"])
+        s["d2"] = jnp.where(enter[:, None], d_obj, s["d2"])
+        s["sp_enter"] = jnp.where(enter, s["sp"], s["sp_enter"])
+        s["cur"] = jnp.where(enter, root, s["cur"])
+
+        cur, cur_t, sp, stack_node, stack_t, blas_leaf = step_phase(
+            s, blas_packed, s["o2"], s["d2"], in_blas
+        )
+        s = dict(s, cur=cur, cur_t=cur_t, sp=sp, stack_node=stack_node, stack_t=stack_t)
+
+        start, count = _decode_leaf(jnp.where(blas_leaf, s["cur"], -2))
+        t_est = s["cur_t"]
+        o_moved = s["o2"] + s["d2"] * t_est[:, None]
+        found = s["found"]
+        for k in range(MAX_LEAF):
+            tri_idx = jnp.clip(start + k, 0, tri_packed.shape[0] - 1)
+            lane_on = blas_leaf & (k < count)
+            h, _, _, _ = _tri_intersect(
+                tri_packed, tri_idx, o_moved, s["d2"],
+                jnp.float32(EPSILON) - t_est, t_limit - t_est,
+            )
+            found = found | (lane_on & h)
+        s["found"] = found
+
+        s["cur"] = jnp.where(blas_leaf, _POP, s["cur"])
+
+        done_blas = in_blas & (s["cur"] == _POP) & (s["sp"] <= s["sp_enter"])
+        s["phase"] = jnp.where(done_blas, PH_TLAS, s["phase"])
+        return s
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["found"]

@@ -171,7 +171,7 @@ def test_pooled_matches_pinned(cornell):
     b, rb = render_film(scene, ndc, org, 0, W, H, 4, pool=True, **kw)
     c, rc = render_film(scene, ndc, org, 0, W, H, 4, pool=True, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
-    np.testing.assert_allclose(float(ra), float(rb))  # same rays either way
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rb))  # same rays either way
     np.testing.assert_array_equal(np.asarray(b), np.asarray(c))  # deterministic
 
 
@@ -189,4 +189,4 @@ def test_render_film_tiling_invariance(cornell):
     a, ra = render_film(scene, ndc, org, 0, W, H, 2, tile_lanes=W * H, **kw)
     b, rb = render_film(scene, ndc, org, 0, W, H, 2, tile_lanes=(W * H) // 4, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(float(ra), float(rb))
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rb))
