@@ -99,6 +99,13 @@ def _world_closest(scene, o, d, lim):
 
         ti, t, u, v, n_raw, model = dense_pl_closest_hit_shade(tri["dense_pl"], o, d, lim)
         return ti, t, u, v, jnp.full_like(ti, -1), {"n_raw": n_raw, "model": model}
+    if "dense_stream" in tri:
+        from path_tracer_tpu.trace.dense_stream import dense_stream_closest_hit_shade
+
+        ti, t, u, v, n_raw, model = dense_stream_closest_hit_shade(
+            tri["dense_stream"], o, d, lim
+        )
+        return ti, t, u, v, jnp.full_like(ti, -1), {"n_raw": n_raw, "model": model}
     if "dense_pl_parts" in tri:
         from path_tracer_tpu.trace.dense_pallas import dense_pl_parts_closest_hit_shade
 
@@ -327,18 +334,31 @@ def trace_lanes(
 
     ``pool=True`` switches per-lane regeneration to a GLOBAL WORK QUEUE over
     the tile's (pixel, sample) grid: a lane whose path dies pulls the next
-    undone work item (sample-major) instead of being pinned to one pixel.
-    With pinned lanes, total iterations = max over lanes of that lane's total
-    bounce count — path-length variance leaves the wave ~50-80% idle on the
-    straggler tail (measured: mesh_scene at 16 spp averaged ~8K live of 16K
-    lanes). Pooling keeps the wave full until the queue drains. Per-sample
-    radiance values are bit-identical either way (RNG keys don't change);
-    only the per-pixel ADD ORDER of samples differs, so pooled film sums can
-    differ from pinned ones by float reassociation (~1 ulp) — pooling is
-    therefore opt-in: benches and the CLI use it; sharding/interactive tests
-    keep the pinned mode's exact tiling invariance. Requires contiguous
-    ``lane`` ids (lane[i] = lane[0] + i) and returns zero position/first_id
-    buffers (the TAA path renders pinned at 1 spp anyway).
+    undone work item instead of being pinned to one pixel. With pinned lanes,
+    total iterations = max over lanes of that lane's total bounce count —
+    path-length variance leaves the wave ~50-80% idle on the straggler tail
+    (measured: mesh_scene at 16 spp averaged ~8K live of 16K lanes). Pooling
+    keeps the wave full until the queue drains.
+
+    The queue is PIXEL-MAJOR: work item ``w`` maps to
+    ``(pixel = w // spp, sample = w % spp)`` — one pixel's samples are
+    CONSECUTIVE items, so neighboring lanes hold samples of the same (or
+    adjacent) pixels at every moment. That makes ray blocks spatially
+    COHERENT at every bounce (bounce origins of one pixel's samples cluster
+    on the same surface patch), which is what lets the dense engines'
+    block-level chunk culling prune secondary rays, not just camera rays
+    (round-1 measured 100% chunk visits for bounce blocks under the old
+    sample-outer order ``(w % n, w // n)`` that scattered a block's lanes
+    across the whole film).
+
+    Per-sample radiance values are bit-identical either way (RNG keys don't
+    change); only the per-pixel ADD ORDER of samples differs, so pooled film
+    sums can differ from pinned ones by float reassociation (~1 ulp) —
+    pooling is therefore opt-in: benches and the CLI use it;
+    sharding/interactive tests keep the pinned mode's exact tiling
+    invariance. Requires contiguous ``lane`` ids (lane[i] = lane[0] + i) and
+    returns zero position/first_id buffers (the TAA path renders pinned at
+    1 spp anyway).
 
     Returns ``(radiance [n,3], position [n,4], first_id [n] uint32,
     rays_cast [n,2] float32)``. ``radiance`` is the SUM over the lane's ``spp``
@@ -373,9 +393,20 @@ def trace_lanes(
 
     base = jnp.asarray(sample_id, jnp.uint32)
     limit = base + jnp.uint32(spp)
-    total_work = jnp.uint32(n) * jnp.uint32(spp)  # pool mode queue length
-    s_idx0 = jnp.full(n, base, jnp.uint32)
-    o, d = camera_rays(s_idx0, lane)
+    spp_u = jnp.uint32(spp)
+    total_work = jnp.uint32(n) * spp_u  # pool mode queue length
+    if pool:
+        # Pixel-major queue: initial in-flight items are w = 0..n-1 under the
+        # same (pixel = w // spp, sample = w % spp) mapping the regeneration
+        # uses — neighboring lanes start on the same pixel's samples.
+        w0 = jnp.arange(n, dtype=jnp.uint32)
+        lane_init = lane0 + jnp.minimum(w0 // jnp.maximum(spp_u, 1), jnp.uint32(n - 1))
+        s_idx0 = base + w0 % jnp.maximum(spp_u, 1)
+        o, d = camera_rays(s_idx0, lane_init)
+    else:
+        lane_init = lane
+        s_idx0 = jnp.full(n, base, jnp.uint32)
+        o, d = camera_rays(s_idx0, lane)
 
     nee = enable_nee and has_lights
 
@@ -396,7 +427,7 @@ def trace_lanes(
         rays_strict=jnp.zeros(n, jnp.float32),
     )
     if pool:
-        state["lane"] = lane
+        state["lane"] = lane_init
         state["next_w"] = jnp.uint32(n)  # items 0..n-1 are in flight
 
     mat = scene["mat"]
@@ -564,13 +595,15 @@ def trace_lanes(
             # (pixel, sample) items in lane order (deterministic: an
             # exclusive prefix count of deaths replaces an atomic counter).
             # Flushes scatter-add into the tile-local film by pixel.
+            # Pixel-major mapping (see docstring): consecutive items are the
+            # same pixel's samples, keeping blocks spatially coherent.
             accum = s["accum"].at[(lane_now - lane0).astype(jnp.int32)].add(flush)
             died_u = died.astype(jnp.uint32)
             rank = jnp.cumsum(died_u) - died_u  # exclusive
             w_new = s["next_w"] + rank
             regen = died & (w_new < total_work)
-            lane_next = jnp.where(regen, lane0 + w_new % jnp.uint32(n), lane_now)
-            s_idx = jnp.where(regen, base + w_new // jnp.uint32(n), s_idx)
+            lane_next = jnp.where(regen, lane0 + w_new // jnp.maximum(spp_u, 1), lane_now)
+            s_idx = jnp.where(regen, base + w_new % jnp.maximum(spp_u, 1), s_idx)
             next_w = s["next_w"] + jnp.sum(died_u)
             new_o, new_d = camera_rays(s_idx, lane_next)
         else:

@@ -189,8 +189,9 @@ def pack_dense_pl_cab(positions: np.ndarray) -> np.ndarray:
     return cab
 
 
-def _block_bits(rays: jnp.ndarray, cab: jnp.ndarray, block: int = BLOCK) -> jnp.ndarray:
-    """Per-block visit bitmask ``[nb, 1]`` int32 over the chunk AABBs.
+def _block_intervals(rays: jnp.ndarray, cab: jnp.ndarray, block: int = BLOCK):
+    """Conservative per-(block, chunk) entry window ``(t_lo [nb, C] f32,
+    vis [nb, C] bool)`` over the chunk AABBs.
 
     Conservative interval slab test: for ray-block bounds (origins in
     [olo,ohi], directions in [dlo,dhi], t in [0, tmax]) and chunk box
@@ -246,18 +247,62 @@ def _block_bits(rays: jnp.ndarray, cab: jnp.ndarray, block: int = BLOCK) -> jnp.
     # the exact t window; slacken tmax to match the padded boxes
     hi = jnp.minimum(t_hi.min(axis=-1), tmax[:, None] * 1.00002 + 1e-5)
     vis = (lo <= hi) & valid.any(axis=1)  # all-dead blocks visit nothing
-    chunks = cab.shape[0]
-    # pack into 32-bit words: [nb, ceil(chunks/32)] (chunk c -> word c>>5,
-    # bit c&31)
-    words = -(-chunks // 32)
-    pad = words * 32 - chunks
-    if pad:
-        vis = jnp.concatenate([vis, jnp.zeros((nb, pad), bool)], axis=1)
-    vis = vis.reshape(nb, words, 32)
-    bits = (vis.astype(jnp.int32) << jnp.arange(32, dtype=jnp.int32)).sum(
-        axis=-1, dtype=jnp.int32
+    return lo, vis
+
+
+def _block_bounds(rays8):
+    """In-kernel per-block ray interval bounds for the chunk-window culling.
+
+    Returns 13 scalars: olo/ohi/dlo/dhi per axis + tmax. Invalid lanes
+    (t_limit <= 0 dead/pad lanes, non-finite origins/directions) are masked
+    out of every reduction — one NaN lane would otherwise collapse the
+    interval test and cull live lanes' chunks (round-1 lesson,
+    RESULTS_r1 platform finding 8)."""
+    d, o, tl = rays8[:, 0:3], rays8[:, 3:6], rays8[:, 7:8]
+    finite = jnp.isfinite(o).all(axis=1, keepdims=True) & jnp.isfinite(d).all(
+        axis=1, keepdims=True
     )
-    return bits  # [nb, words]
+    valid = (tl > 0.0) & finite
+    # ONE cross-sublane reduce for all 13 bounds (cross-sublane reduces cost
+    # ~1 us each on v5e; 13 separate ones were a measurable per-block floor):
+    # max of [B, 13] columns (-o | o | -d | d | tl) gives
+    # (-olo, ohi, -dlo, dhi, tmax); scalars come out as cheap lane extracts.
+    stack = jnp.concatenate([-o, o, -d, d, tl], axis=1)  # [B, 13]
+    m = jnp.max(jnp.where(valid, stack, -_BIG), axis=0)  # [13]
+    olo = [-m[k] for k in range(3)]
+    ohi = [m[3 + k] for k in range(3)]
+    dlo = [-m[6 + k] for k in range(3)]
+    dhi = [m[9 + k] for k in range(3)]
+    tmax0 = jnp.maximum(m[12], 0.0)
+    return olo, ohi, dlo, dhi, tmax0
+
+
+def _chunk_gate(cab_ref, c, bb, tmax):
+    """Scalar conservative entry test of chunk ``c`` against the block's ray
+    interval bounds (the math of `_block_intervals`, per chunk, on SMEM
+    scalars). Returns (visit: bool scalar, dead-cheap — ~30 scalar ops).
+
+    ``tmax`` is the block's DYNAMIC t upper bound (max over lanes of
+    min(best_t, t_limit)), so the shrinking closest-hit window turns into
+    skipped chunks — the packet-tracing t-window cut. Round-1 culled against
+    the static initial t_limit only, and burned 1.5-2.2 ms/call on an XLA
+    prologue; per-chunk scalar gates inside the kernel cost ~nothing."""
+    olo, ohi, dlo, dhi, _ = bb
+    t_lo = jnp.float32(0.0)
+    t_hi = tmax * 1.00002 + 1e-5  # kernel-rounding slack (see _block_intervals)
+    for k in range(3):
+        nlo = cab_ref[c, k] - ohi[k]
+        nhi = cab_ref[c, 3 + k] - olo[k]
+        dl, dh = dlo[k], dhi[k]
+        crosses = (dl <= 0.0) & (dh >= 0.0)
+        sl = jnp.where(dl == 0.0, 1.0, dl)
+        sh = jnp.where(dh == 0.0, 1.0, dh)
+        c0, c1, c2, c3 = nlo / sl, nlo / sh, nhi / sl, nhi / sh
+        lo_k = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
+        hi_k = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
+        t_lo = jnp.maximum(t_lo, jnp.where(crosses, -_BIG, lo_k))
+        t_hi = jnp.minimum(t_hi, jnp.where(crosses, _BIG, hi_k))
+    return t_lo <= t_hi
 
 
 def _same(a, b):
@@ -269,8 +314,12 @@ def _chunk_terms_vpu(w_vmem, rays8, c, ch):
     decomposition) — an alternative to the HIGHEST matmul with identical
     precision class (true f32). Reads component rows out of the SAME W
     layout: n0 = det-family rows 0..2, d0 = td-family row 6, n1 = r1-family
-    rows 0..2, d1 = q1-family row 6, n2/d2 likewise."""
-    c0 = c * 6 * ch
+    rows 0..2, d1 = q1-family row 6, n2/d2 likewise. ``c`` may be a traced
+    chunk id (the ordered-visit walk) — slices stay lane-aligned because
+    every offset is a multiple of ``ch`` >= 128."""
+    c0 = c * (6 * ch)
+    if not isinstance(c, int):
+        c0 = pl.multiple_of(c0, 128)
     row = lambda r, q: w_vmem[r : r + 1, pl.ds(c0 + q * ch, ch)]  # [1, ch]
     dx, dy, dz = rays8[:, 0:1], rays8[:, 1:2], rays8[:, 2:3]
     ox, oy, oz = rays8[:, 3:4], rays8[:, 4:5], rays8[:, 5:6]
@@ -288,8 +337,11 @@ def _chunk_terms_vpu(w_vmem, rays8, c, ch):
 def _chunk_terms(w_vmem, rays8, c, ch):
     """All six per-pair dot families for chunk ``c`` in one MXU matmul,
     then two FMA families on the VPU. Returns (det, td, ud, vd) as [B, ch]."""
+    c0 = c * (6 * ch)
+    if not isinstance(c, int):
+        c0 = pl.multiple_of(c0, 128)
     six = jax.lax.dot_general(
-        rays8, w_vmem[:, pl.ds(c * 6 * ch, 6 * ch)],
+        rays8, w_vmem[:, pl.ds(c0, 6 * ch)],
         (((1,), (0,)), ((), ())),
         precision=_HI, preferred_element_type=jnp.float32,
     )  # [B, 6*ch]
@@ -315,31 +367,12 @@ def _load_once(pairs):
             dma.wait()
 
 
-def _mask_bit(bits_ref, c):
-    """Visit bit for chunk ``c`` from the per-block SMEM mask words."""
-    pid = pl.program_id(0)
-    if isinstance(c, int):
-        word = bits_ref[pid, c // 32]
-        return jax.lax.shift_right_logical(word, c % 32) & 1
-    word = bits_ref[pid, jax.lax.shift_right_logical(c, 5)]
-    return jax.lax.shift_right_logical(word, c & 31) & 1
-
-
-def _chunk_sweep(chunks, step, carry, bit_fn=None, unroll=UNROLL):
+def _chunk_sweep(chunks, step, carry, unroll=UNROLL):
     """Run ``step(c_index, carry)`` over all chunks: head unrolled, tail in a
     fori_loop over ``unroll``-groups (bounds the kernel's VMEM stack frame —
-    big tables drop to unroll=1 or the scoped-vmem stack overflows).
-
-    ``bit_fn(c)`` (scalar 0/1 per chunk) skips whole chunk steps via real
-    control flow (``lax.cond`` -> scf.if): a skipped chunk costs ~nothing —
-    this is where block-level culling turns into saved cycles, unlike lane
-    masking which still executes every op."""
-    if bit_fn is not None:
-        inner = step
-
-        def step(c, s):  # noqa: F811 — deliberate shadowing wrapper
-            return jax.lax.cond(bit_fn(c) != 0, lambda s_: inner(c, s_), lambda s_: s_, s)
-
+    big tables drop to unroll=1 or the scoped-vmem stack overflows). Used by
+    the shading epilogue; the search loops are per-block ordered while loops
+    (`_visit_plan`)."""
     head = chunks % unroll if chunks > unroll else chunks
     for c in range(head):
         carry = step(c, carry)
@@ -355,24 +388,26 @@ def _chunk_sweep(chunks, step, carry, bit_fn=None, unroll=UNROLL):
     return carry
 
 
-def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
-                    sem, sem2, *, chunks, ch, unroll=UNROLL):
+def _closest_kernel(rays_ref, cab_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
+                    sem, sem2, *, chunks, ch, cull, unroll=UNROLL):
     _load_once([(w_hbm, w_vmem, sem), (a_hbm, a_vmem, sem2)])
-    mask = functools.partial(_mask_bit, bits_ref)
     rays8 = rays_ref[...]  # [B, 8] = dx dy dz ox oy oz 1 tlim
     tlim = rays_ref[:, 7:8]
     b = rays8.shape[0]
     eps = jnp.float32(EPSILON)
 
-    # --- search: per-chunk cross-lane (min t, argmin lane) reduces with a
-    # small [B,1] loop carry. (An elementwise [B,ch] best-per-column carry
-    # was measured SLOWER on v5e — big fori_loop vector carries cost more
-    # than the per-chunk reduces they save.)
+    # --- search: chunk sweep with per-chunk SCALAR gates (conservative entry
+    # window vs the block's DYNAMIC t upper bound — max over lanes of
+    # min(best_t, t_limit)). The shrinking closest-hit window turns into
+    # skipped chunks via real control flow. Per-chunk cross-lane
+    # (min t, argmin lane) reduces with small [B,1] carries (an elementwise
+    # [B,ch] best-per-column carry was measured SLOWER on v5e).
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (b, ch), 1).astype(jnp.float32)
+    terms = _chunk_terms_vpu if USE_VPU_TERMS else _chunk_terms
+    bb = _block_bounds(rays8) if cull else None
 
-    def step(c, carry):
-        best_t, best_gl = carry
-        terms = _chunk_terms_vpu if USE_VPU_TERMS else _chunk_terms
+    def test(c, carry):
+        best_t, best_gl, tmax = carry
         det, td, ud, vd = terms(w_vmem, rays8, c, ch)
         c2 = _same(ud, det - ud)
         c3 = _same(vd, det - ud - vd)
@@ -384,16 +419,25 @@ def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
         tm = jnp.where(ok, t, _BIG)
         t_c = jnp.min(tm, axis=1, keepdims=True)  # [B, 1]
         l_c = jnp.min(jnp.where(tm == t_c, lane_f, _BIG), axis=1, keepdims=True)
-        upd = t_c < best_t  # strict: earlier chunk wins ties
-        best_gl = jnp.where(upd, l_c + jnp.float32(c * ch), best_gl)
+        upd = t_c < best_t  # strict: earlier chunk wins ties (DFS order)
+        cf = jnp.float32(c * ch) if isinstance(c, int) else (c * ch).astype(jnp.float32)
+        best_gl = jnp.where(upd, l_c + cf, best_gl)
         best_t = jnp.where(upd, t_c, best_t)
-        return best_t, best_gl
+        tmax = jnp.max(jnp.minimum(best_t, tlim))
+        return best_t, best_gl, tmax
+
+    def step(c, carry):
+        if not cull:
+            return test(c, carry)
+        gate = _chunk_gate(cab_ref, c, bb, carry[2])
+        return jax.lax.cond(gate, lambda cr: test(c, cr), lambda cr: cr, carry)
 
     carry0 = (
         jnp.full((b, 1), _BIG, jnp.float32),
         jnp.full((b, 1), -1.0, jnp.float32),
+        bb[4] if cull else jnp.max(tlim),
     )
-    best_t, gl_win = _chunk_sweep(chunks, step, carry0, mask, unroll)
+    best_t, gl_win, _ = _chunk_sweep(chunks, step, carry0, unroll)
     gl_win = jnp.where(best_t < _BIG, gl_win, -1.0)
 
     # --- epilogue: fetch the winner's aux row with chunked one-hot MXU dots
@@ -456,20 +500,29 @@ def _closest_kernel(rays_ref, bits_ref, w_hbm, a_hbm, out_ref, w_vmem, a_vmem,
     out_ref[:, 7:8] = col(21)  # model id
 
 
-def _any_kernel(rays_ref, bits_ref, w_hbm, out_ref, w_vmem, sem, *, chunks, ch,
-                unroll=UNROLL):
+def _any_kernel(rays_ref, cab_ref, w_hbm, out_ref, w_vmem, sem, *, chunks, ch,
+                cull, unroll=UNROLL):
     """Shadow test: division-free via the sign-consistent t-window check
     (sweep.py's c1 with t_est = 0): hit iff
-    sign(td - det*eps) == sign(det*tlim - td)."""
+    sign(td - det*eps) == sign(det*tlim - td).
+
+    Chunk sweep with TWO per-chunk scalar gates: the conservative entry
+    window, and an ALL-RESOLVED cut — once every live lane is occluded the
+    remaining chunks are skipped outright (the reference's first-hit exit,
+    blas.rs:257-294, at block granularity; the dynamic t bound also shrinks
+    to the farthest still-unresolved lane)."""
     _load_once([(w_hbm, w_vmem, sem)])
-    mask = functools.partial(_mask_bit, bits_ref)
     rays8 = rays_ref[...]
     tlim = rays_ref[:, 7:8]
     b = rays8.shape[0]
     eps = jnp.float32(EPSILON)
+    terms = _chunk_terms_vpu if USE_VPU_TERMS else _chunk_terms
+    bb = _block_bounds(rays8) if cull else None
+    # lanes with no test to run (t_limit <= 0: dead/pad lanes) count as
+    # resolved from the start
+    invalid = (tlim <= 0.0).astype(jnp.float32)  # [B, 1]
 
-    def step(c, found):
-        terms = _chunk_terms_vpu if USE_VPU_TERMS else _chunk_terms
+    def test(c, found):
         det, td, ud, vd = terms(w_vmem, rays8, c, ch)
         c1 = _same(td - det * eps, det * tlim - td)
         c2 = _same(ud, det - ud)
@@ -479,7 +532,16 @@ def _any_kernel(rays_ref, bits_ref, w_hbm, out_ref, w_vmem, sem, *, chunks, ch,
         # and small carries beat elementwise [B,ch] ones (see closest).
         return jnp.maximum(found, jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True))
 
-    any_f = _chunk_sweep(chunks, step, jnp.zeros((b, 1), jnp.float32), mask, unroll)
+    def step(c, found):
+        resolved = jnp.maximum(found, invalid)
+        live = jnp.min(resolved) < 0.5
+        if not cull:
+            return jax.lax.cond(live, lambda f: test(c, f), lambda f: f, found)
+        tmax = jnp.max(jnp.where(resolved > 0.5, 0.0, tlim))
+        gate = live & _chunk_gate(cab_ref, c, bb, tmax)
+        return jax.lax.cond(gate, lambda f: test(c, f), lambda f: f, found)
+
+    any_f = _chunk_sweep(chunks, step, jnp.zeros((b, 1), jnp.float32), unroll)
     out_ref[:, 0:1] = any_f
     out_ref[:, 1:8] = jnp.zeros((b, 7), jnp.float32)
 
@@ -511,11 +573,17 @@ def _pack_rays(origin, direction, t_limit, block):
 
 
 def _block_for(tp: int) -> int:
-    """Rays per grid step. Big tables (>16K tris) shrink the ray block so the
-    kernel's scoped-VMEM stack (the [B, 6*ch] matmul tile + combine temps)
-    fits beside the W+aux scratch: at 20K tris, B=256 overflows v5e's 16 MB
-    scoped limit by ~360 KB; B=128 halves the working set."""
-    return 128 if tp > 16384 else BLOCK
+    """Rays per grid step, sized to the scoped-VMEM budget: the kernel's
+    live set is the W+aux scratch plus ~6 [B, ch] f32 combine temps per
+    chunk step. Small tables take BIG blocks (fewer grid steps -> the fixed
+    per-block costs — bound reduce, DMA-once cond, epilogue — amortize);
+    at 20K tris, B=256 already overflowed v5e's 16 MB scoped limit by
+    ~360 KB, so big tables shrink to 128."""
+    if tp > 16384:
+        return 128
+    if tp > 8192:
+        return BLOCK
+    return 512
 
 
 def _unroll_for(tp: int) -> int:
@@ -533,12 +601,12 @@ def _geom(tab_w):
     return tp // ch, ch
 
 
-def _visit_bits(rays, cab, chunks, block):
-    """Bitmask [nb, words] — all-ones when no chunk AABBs are provided."""
-    nb = rays.shape[0] // block
+def _cab_smem(cab):
+    """SMEM chunk-AABB input: the kernels read per-chunk scalars from it.
+    ``None`` (no culling) passes a 1-row dummy the kernel never touches."""
     if cab is None:
-        return jnp.full((nb, -(-chunks // 32)), -1, jnp.int32)
-    return _block_bits(rays, cab, block)
+        return jnp.zeros((1, 6), jnp.float32), False
+    return cab, True
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -547,10 +615,10 @@ def _closest_call(w, aux, cab, origin, direction, t_limit, interpret: bool):
     blk = _block_for(chunks * ch)
     rays, n = _pack_rays(origin, direction, t_limit, blk)
     np_total = rays.shape[0]
-    bits = _visit_bits(rays, cab, chunks, blk)
+    cab_in, cull = _cab_smem(cab)
 
     out = pl.pallas_call(
-        functools.partial(_closest_kernel, chunks=chunks, ch=ch,
+        functools.partial(_closest_kernel, chunks=chunks, ch=ch, cull=cull,
                           unroll=_unroll_for(chunks * ch)),
         out_shape=jax.ShapeDtypeStruct((np_total, 8), jnp.float32),
         grid=(np_total // blk,),
@@ -568,7 +636,7 @@ def _closest_call(w, aux, cab, origin, direction, t_limit, interpret: bool):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(rays, bits, w, aux)
+    )(rays, cab_in, w, aux)
     return out[:n]
 
 
@@ -578,10 +646,10 @@ def _any_call(w, cab, origin, direction, t_limit, interpret: bool):
     blk = _block_for(chunks * ch)
     rays, n = _pack_rays(origin, direction, t_limit, blk)
     np_total = rays.shape[0]
-    bits = _visit_bits(rays, cab, chunks, blk)
+    cab_in, cull = _cab_smem(cab)
 
     out = pl.pallas_call(
-        functools.partial(_any_kernel, chunks=chunks, ch=ch,
+        functools.partial(_any_kernel, chunks=chunks, ch=ch, cull=cull,
                           unroll=_unroll_for(chunks * ch)),
         out_shape=jax.ShapeDtypeStruct((np_total, 8), jnp.float32),
         grid=(np_total // blk,),
@@ -596,7 +664,7 @@ def _any_call(w, cab, origin, direction, t_limit, interpret: bool):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(rays, bits, w)
+    )(rays, cab_in, w)
     return out[:n]
 
 
