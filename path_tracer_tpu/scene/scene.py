@@ -236,11 +236,13 @@ class Scene:
         from path_tracer_tpu.trace.dense import DENSE_MAX_TRIS, pack_dense
         from path_tracer_tpu.trace.dense_pallas import (
             DENSE_PL_MAX_TRIS,
-            DENSE_PL_SPLIT_MAX_TRIS,
             pack_dense_pl,
             pack_dense_pl_aux,
             pack_dense_pl_cab,
-            pack_dense_pl_parts,
+        )
+        from path_tracer_tpu.trace.dense_stream import (
+            DENSE_STREAM_MAX_TRIS,
+            pack_dense_stream,
         )
 
         if "stream_static" not in data["bvh"] and "stream" not in data["bvh"]:
@@ -258,17 +260,22 @@ class Scene:
                     "cab": jnp.asarray(pack_dense_pl_cab(self.tri["positions"])),
                 }
             elif (jax.default_backend() == "tpu"
-                    and self.num_world_tris <= DENSE_PL_SPLIT_MAX_TRIS):
-                # 16K-64K tris: chained <=16K Pallas sub-tables (a single
-                # bigger table overflows scoped VMEM; the XLA engines are
-                # ~50x slower here)
-                data["tri"]["dense_pl_parts"] = [
-                    {k: (jnp.asarray(v) if k != "base" else v) for k, v in p.items()}
-                    for p in pack_dense_pl_parts(
-                        self.tri, self.tri["normals"].reshape(t, 9),
-                        self.tri["model"], self.tri["positions"],
-                    )
-                ]
+                    and self.num_world_tris <= DENSE_STREAM_MAX_TRIS):
+                # >16K tris: the HBM-streamed engine — ONE kernel launch
+                # whose part tables double-buffer through VMEM
+                # (trace/dense_stream.py); replaces the chained-parts
+                # engine's per-part launch costs.
+                packed_stream = pack_dense_stream(
+                    self.tri, self.tri["normals"].reshape(t, 9),
+                    self.tri["model"], self.tri["positions"],
+                )
+                # meta stays host-side: the engine derives every static size
+                # from w.shape (Python ints in the pytree would become
+                # tracers under the integrator's jit)
+                data["tri"]["dense_stream"] = {
+                    k: jnp.asarray(v)
+                    for k, v in packed_stream.items() if k != "meta"
+                }
             elif self.num_world_tris <= DENSE_MAX_TRIS:
                 data["tri"]["dense"] = {
                     k: jnp.asarray(v) for k, v in pack_dense(self.tri).items()

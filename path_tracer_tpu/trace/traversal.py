@@ -295,6 +295,10 @@ def closest_hit(bvh, tri, origin, direction, t_limit=None):
         from path_tracer_tpu.trace.dense_pallas import dense_pl_closest_hit
 
         return dense_pl_closest_hit(tri["dense_pl"], origin, direction, t_limit)
+    if "dense_stream" in tri:
+        from path_tracer_tpu.trace.dense_stream import dense_stream_closest_hit
+
+        return dense_stream_closest_hit(tri["dense_stream"], origin, direction, t_limit)
     if "dense_pl_parts" in tri:
         from path_tracer_tpu.trace.dense_pallas import dense_pl_parts_closest_hit
 
@@ -393,6 +397,10 @@ def any_hit(bvh, tri, origin, direction, t_limit):
         from path_tracer_tpu.trace.dense_pallas import dense_pl_any_hit
 
         return dense_pl_any_hit(tri["dense_pl"], origin, direction, t_limit)
+    if "dense_stream" in tri:
+        from path_tracer_tpu.trace.dense_stream import dense_stream_any_hit
+
+        return dense_stream_any_hit(tri["dense_stream"], origin, direction, t_limit)
     if "dense_pl_parts" in tri:
         from path_tracer_tpu.trace.dense_pallas import dense_pl_parts_any_hit
 
