@@ -1,0 +1,861 @@
+"""Walked-list traversal engine — XLA-gated BVH chunk bitmasks + VPU tests.
+
+The TPU answer to the reference's per-ray ordered stack traversal
+(blas.rs:214-294). Round-2 v3 walked a chunk tree on the Pallas scalar core
+and was scalar-latency-bound (~500 sequential pops x ~200 cycles per block
+while the VPU idled). v4 compacted per-block chunk lists XLA-side and hit
+the next wall: TPU element-wise gather/scatter/cumsum cost ~17 ms where the
+kernel itself needed 0.6 ms. v5 keeps each unit on the work it is good at
+and communicates through a bitmask instead of compacted lists:
+
+* Triangles are partitioned host-side into spatially tight chunks of
+  <= CH_W prims by the reference's binned-SAH splitter run to full depth
+  (scene/bvh.py chunk_partition; blas_bvh.rs:62-136 semantics). A global
+  SAH tree over the chunk AABBs exists ONLY on the host: its runtime
+  artifacts are eight precomputed front-to-back DFS leaf orders (one per
+  direction octant — the reference's near-child-first push ordering,
+  blas.rs:133-162, resolved statically) and per-octant PRE-PERMUTED chunk
+  box tables, so the runtime never gathers by octant element-wise.
+* Per call, XLA gates ALL chunks against ALL ray blocks at once — a fully
+  vectorized [nblocks, kq] conservative slab test in multiply form, SoA
+  per axis (3-wide minor dims would waste 40/128 lanes) — and packs each
+  block's survivor row into a two-level bitmask: 32 chunks/word, 32
+  words/summary-bit. No sort, no scatter, no cumsum, no take_along_axis.
+* The Pallas kernel is a streamer: grid over ray blocks; the scalar core
+  scans the summary word, skips empty words, and extracts survivor
+  positions bit by bit (b & -b + float-exponent ilog2) IN front-to-back
+  order while the VPU runs the exact-f32 Havel-Herout chunk test
+  ([SBLK, CH_W], p-form — round-1 precision lesson: no bf16/matmul in
+  winner selection). Every tested chunk shrinks a LIVE t-window via a
+  cross-lane reduce of the running per-ray best; later entries whose
+  conservative entry t (SMEM row, octant order) exceeds the window are
+  skipped without touching the VPU.
+* The weight table is DMA'd to VMEM once at grid step 0 and stays resident
+  (64 B/tri compact 12-plane layout).
+* Per-ray t_limits are clamped to the scene root box EXIT distance first —
+  otherwise one miss ray per block pins the live window open forever.
+* Ray coherence is restored before the kernel by an
+  (octant, origin-morton, direction-morton) sort: block tightness is the
+  whole game. Camera-style bundles share an origin, so the key must split
+  on DIRECTION below the origin cell. Results scatter back through the
+  inverse permutation.
+
+Behavior parity: visit order is deterministic (octant front-to-back DFS
+order, gated), and the winner at bit-equal t across chunks resolves to the
+lowest (chunk, lane) pair; ties across DIFFERENT triangles at bit-equal t
+are measure-zero. The any-hit variant early-exits the whole block once
+every live lane is occluded (blas.rs:257-294 at block granularity).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from path_tracer_tpu.core.constants import EPSILON
+from path_tracer_tpu.scene.bvh import (
+    build_sah_tree,
+    chunk_partition,
+)
+from path_tracer_tpu.trace.dense_pallas import _BIG, AUX_COLS, _same
+
+CH_W = 128     # chunk capacity (tris per dense leaf test)
+SBLK = 128     # rays per block
+# VMEM-resident weight table: 64 B/tri, ~16 MB VMEM/core minus scratch.
+WALK_MAX_TRIS = 196_608
+# Restore ray coherence before the kernel (block frustum tightness).
+WALK_SORT = True
+
+
+# ---------------------------------------------------------------------------
+# host-side packing
+# ---------------------------------------------------------------------------
+
+def _octant_orders(nodes, root, k) -> np.ndarray:
+    """Front-to-back DFS leaf order per direction octant, [8, k] i32.
+
+    At each internal node the child whose box center is nearer along the
+    octant's dominant separating axis is visited first — the static
+    resolution of the reference's per-ray near-child push (blas.rs:133-162).
+    Octant bit encoding matches _coherence_order: bit2 x<0, bit1 y<0,
+    bit0 z<0.
+    """
+    orders = np.empty((8, k), np.int32)
+    for o in range(8):
+        sign = np.array(
+            [-1.0 if o & 4 else 1.0,
+             -1.0 if o & 2 else 1.0,
+             -1.0 if o & 1 else 1.0]
+        )
+        out = []
+        stack = [root]
+        while stack:
+            n = nodes[stack.pop()]
+            if n.is_leaf:
+                out.append(n.a)  # span-1 leaf: start == layout slot
+                continue
+            a, b = nodes[n.a], nodes[n.b]
+            ca = (a.bb_min + a.bb_max) * sign
+            cb = (b.bb_min + b.bb_max) * sign
+            axis = int(np.argmax(np.abs(cb - ca)))
+            a_first = ca[axis] <= cb[axis]
+            near, far = (n.a, n.b) if a_first else (n.b, n.a)
+            stack.append(far)
+            stack.append(near)
+        orders[o] = out
+    return orders
+
+
+def pack_walk(tri: dict, normals_flat, model, positions) -> dict:
+    """Pack the walk-engine tables (host numpy).
+
+    Returns ``w`` [8, nchunks*2*CH_W] compact plane table in chunk layout
+    order (plane q of chunk c at row q&7, col c*2*CH_W + (q>>3)*CH_W;
+    planes: n0 xyz, d0, n1 xyz, d1, n2 xyz, d2); ``cb_oct`` [8, 6, kq]
+    per-octant PERMUTED chunk AABBs (rows lo xyz | hi xyz, padded columns
+    are degenerate boxes at +inf that fail every gate); ``ord_oct`` [8, kq]
+    per-octant front-to-back chunk orders (layout slots); ``aux``
+    [nchunks*CH_W, AUX_COLS] shading rows in padded slot order; ``origmap``
+    [nchunks*CH_W] i32 original soup index per slot (0 for pads — pads
+    carry zero planes and never win); ``sort_lo``/``sort_scale`` [3]
+    scene-bounds quantizers for the coherence sort; ``root_lo``/``root_hi``
+    the scene box for the t_limit exit clamp. ``kq`` = 1024 * ceil(k/1024)
+    so positions decompose as (summary bit)*1024 + (word bit)*32 + bit.
+    """
+    pos = np.asarray(positions, np.float32)
+    t = pos.shape[0]
+    if t > WALK_MAX_TRIS:
+        raise ValueError(f"walk engine caps at {WALK_MAX_TRIS} tris, got {t}")
+    bmin = pos.min(axis=1)
+    bmax = pos.max(axis=1)
+    perm, starts, spans = chunk_partition(bmin, bmax, CH_W)
+    k = len(starts)
+    pad = 1e-4 * float(np.abs(pos).max(initial=1.0)) + 1e-6
+
+    # chunk AABBs in partition DFS order
+    cmin = np.empty((k, 3), np.float32)
+    cmax = np.empty((k, 3), np.float32)
+    for c in range(k):
+        seg = pos[perm[starts[c] : starts[c] + spans[c]]]
+        cmin[c] = seg.min(axis=(0, 1)) - pad
+        cmax[c] = seg.max(axis=(0, 1)) + pad
+
+    # global SAH tree over chunk boxes; chunks laid out in tree leaf order
+    # (leaf c_idx == layout slot because every leaf has span 1)
+    nodes, perm2, root = build_sah_tree(cmin, cmax, max_leaf=1)
+    ord_oct = _octant_orders(nodes, root, k)
+
+    # original soup index per padded layout slot
+    S = k * CH_W
+    slots = np.full(S, -1, np.int64)
+    for c_local in range(k):
+        gc = perm2[c_local]
+        s, n_ = starts[gc], spans[gc]
+        slots[c_local * CH_W : c_local * CH_W + n_] = perm[s : s + n_]
+    valid = slots >= 0
+    idx = slots[valid]
+
+    def fld(name):
+        return np.asarray(tri[name], np.float32)
+
+    n0, n1, n2 = fld("n0"), fld("n1"), fld("n2")
+    d0, d1, d2 = fld("d0"), fld("d1"), fld("d2")
+    plane16 = np.zeros((16, S), np.float32)
+    plane16[0:3, valid] = n0[idx].T
+    plane16[3, valid] = d0[idx]
+    plane16[4:7, valid] = n1[idx].T
+    plane16[7, valid] = d1[idx]
+    plane16[8:11, valid] = n2[idx].T
+    plane16[11, valid] = d2[idx]
+    # w[r, c*2*CH + g*CH + lane] = plane16[g*8 + r, c*CH + lane]
+    w = (
+        plane16.reshape(2, 8, k, CH_W)
+        .transpose(1, 2, 0, 3)
+        .reshape(8, k * 2 * CH_W)
+    )
+
+    aux = np.zeros((S, AUX_COLS), np.float32)
+    a = aux[valid]
+    a[:, 0:3] = n0[idx]
+    a[:, 3] = d0[idx]
+    a[:, 4:7] = n1[idx]
+    a[:, 7] = d1[idx]
+    a[:, 8:11] = n2[idx]
+    a[:, 11] = d2[idx]
+    if normals_flat is not None:
+        a[:, 12:21] = np.asarray(normals_flat, np.float32)[idx]
+    if model is not None:
+        a[:, 21] = np.asarray(model)[idx]
+    aux[valid] = a
+
+    # chunk boxes in LAYOUT order, then per-octant permuted + padded. Pad
+    # columns are +inf POINT boxes: their slab products are all +/-inf with
+    # one sign per block, so t_lo > t_hi whichever way the block faces
+    # (all-axes-crossing blocks may pass pads; they fetch slot 0, harmless).
+    cb_lo = cmin[perm2].astype(np.float32)
+    cb_hi = cmax[perm2].astype(np.float32)
+    kq = ((k + 1023) // 1024) * 1024
+    cb_oct = np.full((8, 6, kq), 2.0e30, np.float32)
+    ord_pad = np.zeros((8, kq), np.int32)
+    for o in range(8):
+        po = ord_oct[o]
+        cb_oct[o, 0:3, :k] = cb_lo[po].T
+        cb_oct[o, 3:6, :k] = cb_hi[po].T
+        ord_pad[o, :k] = po
+
+    scene_lo = bmin.min(axis=0)
+    scene_hi = bmax.max(axis=0)
+    extent = np.maximum(scene_hi - scene_lo, 1e-6)
+    return {
+        "w": w,
+        "cb_oct": cb_oct,
+        "ord_oct": ord_pad,
+        "aux": aux,
+        "origmap": np.maximum(slots, 0).astype(np.int32),
+        "sort_lo": scene_lo.astype(np.float32),
+        "sort_scale": (1.0 / extent).astype(np.float32),
+        # root box for the per-ray t_limit exit clamp: a ray that misses or
+        # exits the scene box stops holding its block's live t-window open
+        "root_lo": (scene_lo - pad).astype(np.float32),
+        "root_hi": (scene_hi + pad).astype(np.float32),
+    }
+
+
+def _exit_clamp(eng, origin, direction, t_limit):
+    """Clamp per-ray t_limit to the scene root-box EXIT t (with conservative
+    slack); rays that miss the box entirely become dead (t_limit 0). Sound:
+    no triangle lies beyond the root box, and without this one miss ray per
+    block pins the live t-window at its full t_limit forever."""
+    lo, hi = eng["root_lo"], eng["root_hi"]
+    d0 = direction == 0.0
+    inv = 1.0 / jnp.where(d0, 1.0, direction)
+    t1 = (lo - origin) * inv
+    t2 = (hi - origin) * inv
+    inside = (origin >= lo) & (origin <= hi)
+    hi_a = jnp.where(d0, jnp.where(inside, _BIG, -_BIG), jnp.maximum(t1, t2))
+    lo_a = jnp.where(d0, jnp.where(inside, -_BIG, _BIG), jnp.minimum(t1, t2))
+    tf = jnp.min(hi_a, axis=1)
+    tn = jnp.maximum(jnp.max(lo_a, axis=1), 0.0)
+    texit = jnp.where(tf >= tn, tf * 1.0001 + 1e-4, 0.0)
+    return jnp.minimum(t_limit, texit)
+
+
+# ---------------------------------------------------------------------------
+# XLA-side gating: block bounds -> per-block survivor bitmasks
+# ---------------------------------------------------------------------------
+
+def _block_bounds(origin, direction, t_limit):
+    """Per-block conservative ray bounds. Invalid lanes (dead/regen:
+    t_limit <= 0, non-finite o/d) are masked out — one NaN lane would
+    otherwise cull a whole live block. Returns a dict of [nb, ...] arrays."""
+    n = origin.shape[0]
+    nb = n // SBLK
+    o = origin.reshape(nb, SBLK, 3)
+    d = direction.reshape(nb, SBLK, 3)
+    tl = t_limit.reshape(nb, SBLK)
+    valid = (
+        (tl > 0.0)
+        & jnp.isfinite(o).all(axis=-1)
+        & jnp.isfinite(d).all(axis=-1)
+    )[:, :, None]
+    big = jnp.float32(_BIG)
+    olo = jnp.where(valid, o, big).min(axis=1)
+    ohi = jnp.where(valid, o, -big).max(axis=1)
+    dlo = jnp.where(valid, d, big).min(axis=1)
+    dhi = jnp.where(valid, d, -big).max(axis=1)
+    tmax = jnp.where(valid[:, :, 0], jnp.minimum(tl, 3.0e38), 0.0).max(axis=1)
+    anyv = valid[:, :, 0].any(axis=1)
+    crosses = (dlo <= 0.0) & (dhi >= 0.0)
+    rlo = jnp.where(crosses, 0.0, 1.0 / jnp.where(dlo == 0.0, 1.0, dlo))
+    rhi = jnp.where(crosses, 0.0, 1.0 / jnp.where(dhi == 0.0, 1.0, dhi))
+    return {
+        "olo": olo, "ohi": ohi, "rlo": rlo, "rhi": rhi,
+        "crosses": crosses, "tmax": tmax, "anyv": anyv,
+    }
+
+
+def _build_mask(eng, origin_pad, direction_pad, t_limit_pad):
+    """Gate every chunk against every block and pack survivors into a
+    two-level bitmask, all in 2-D SoA layout (no 3-minor axes, no gathers
+    beyond one 8-row table fetch, no scatter/cumsum/sort).
+
+    Returns ``summ [nb, s] i32`` (bit j: word j nonempty), ``words
+    [nb, s*32] i32`` (bit b: chunk at octant-order position word*32+b
+    survives), ``tent [nb, kq] f32`` (conservative entry t per octant-order
+    position, BIG for non-survivors), ``oct [nb] i32``.
+    """
+    bb = _block_bounds(origin_pad, direction_pad, t_limit_pad)
+    oct_b = _block_octant(direction_pad)
+    sel = eng["cb_oct"][oct_b]                # [nb, 6, kq] 8-row table fetch
+    nb, _, kq = sel.shape
+    t_lo = jnp.zeros((nb, kq), jnp.float32)
+    t_hi = jnp.broadcast_to(bb["tmax"][:, None], (nb, kq))
+    for a in range(3):
+        nlo = sel[:, a] - bb["ohi"][:, a : a + 1]
+        nhi = sel[:, 3 + a] - bb["olo"][:, a : a + 1]
+        rlo = bb["rlo"][:, a : a + 1]
+        rhi = bb["rhi"][:, a : a + 1]
+        c0, c1 = nlo * rlo, nlo * rhi
+        c2, c3 = nhi * rlo, nhi * rhi
+        lo_a = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
+        hi_a = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
+        crs = bb["crosses"][:, a : a + 1]
+        t_lo = jnp.maximum(t_lo, jnp.where(crs, -_BIG, lo_a))
+        t_hi = jnp.minimum(t_hi, jnp.where(crs, _BIG, hi_a))
+    ok = (t_lo <= t_hi) & bb["anyv"][:, None]
+    tent = jnp.where(ok, t_lo, _BIG)
+
+    pow2 = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words_u = (
+        (ok.reshape(nb, kq // 32, 32).astype(jnp.uint32) * pow2)
+        .sum(axis=2, dtype=jnp.uint32)
+    )
+    s = kq // 1024
+    summ_u = (
+        ((words_u != 0).reshape(nb, s, 32).astype(jnp.uint32) * pow2)
+        .sum(axis=2, dtype=jnp.uint32)
+    )
+    words = jax.lax.bitcast_convert_type(words_u, jnp.int32)
+    summ = jax.lax.bitcast_convert_type(summ_u, jnp.int32)
+    return summ, words, tent, oct_b
+
+
+def _block_octant(direction_pad):
+    """Octant of each block's first ray (blocks are octant-sorted; the
+    octant only steers visit-order quality, never correctness)."""
+    d0 = direction_pad.reshape(-1, SBLK, 3)[:, 0]
+    return (
+        ((d0[:, 0] < 0).astype(jnp.int32) << 2)
+        | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
+        | (d0[:, 2] < 0).astype(jnp.int32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunk test (VPU, exact f32)
+# ---------------------------------------------------------------------------
+
+def _plane(w_ref, q, c0):
+    r = q & 7
+    return w_ref[r : r + 1, pl.ds(c0 + (q >> 3) * CH_W, CH_W)]  # [1, CH]
+
+
+def _chunk_terms(w_ref, rc, c):
+    """p-form Havel-Herout terms for chunk ``c``: (det, td, ud, vd), each
+    [SBLK, CH]. Exact f32 FMAs — same expression order as the external
+    winner recompute in walk_closest_hit_shade."""
+    dx, dy, dz, ox, oy, oz = rc
+    c0 = pl.multiple_of(c * (2 * CH_W), 256)
+    n0x, n0y, n0z, d0 = _plane(w_ref, 0, c0), _plane(w_ref, 1, c0), _plane(w_ref, 2, c0), _plane(w_ref, 3, c0)
+    det = n0x * dx + n0y * dy + n0z * dz
+    td = d0 - (n0x * ox + n0y * oy + n0z * oz)
+    px = det * ox + td * dx
+    py = det * oy + td * dy
+    pz = det * oz + td * dz
+    n1x, n1y, n1z, d1 = _plane(w_ref, 4, c0), _plane(w_ref, 5, c0), _plane(w_ref, 6, c0), _plane(w_ref, 7, c0)
+    ud = n1x * px + n1y * py + n1z * pz + det * d1
+    n2x, n2y, n2z, d2 = _plane(w_ref, 8, c0), _plane(w_ref, 9, c0), _plane(w_ref, 10, c0), _plane(w_ref, 11, c0)
+    vd = n2x * px + n2y * py + n2z * pz + det * d2
+    return det, td, ud, vd
+
+
+def _chunk_t(w_ref, rc, c, tlim, eps):
+    """[SBLK, CH] candidate-t matrix for chunk ``c`` (failures -> +BIG)."""
+    det, td, ud, vd = _chunk_terms(w_ref, rc, c)
+    c2 = _same(ud, det - ud)
+    c3 = _same(vd, det - ud - vd)
+    safe = jnp.where(det == 0.0, 1.0, det)
+    r_ = pl.reciprocal(safe, approx=True)
+    r_ = r_ * (2.0 - safe * r_)  # one Newton step: ~1 ulp of f32
+    tt = td * r_
+    ok = c2 & c3 & (det != 0.0) & (tt > eps) & (tt < tlim)
+    return jnp.where(ok, tt, _BIG)
+
+
+# ---------------------------------------------------------------------------
+# kernels (grid over ray blocks; weight table DMA'd once at step 0)
+# ---------------------------------------------------------------------------
+
+def _load_w(w_hbm, wv, sem_w):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cp = pltpu.make_async_copy(w_hbm, wv, sem_w)
+        cp.start()
+        cp.wait()
+
+
+_ILOG2_MASKS = tuple(
+    int(np.int32(np.uint32(m)))
+    for m in (0xAAAAAAAA, 0xCCCCCCCC, 0xF0F0F0F0, 0xFF00FF00, 0xFFFF0000)
+)
+
+
+def _ilog2(b):
+    """Index of the single set bit of ``b`` (power of two as int32, possibly
+    the sign bit) — branchless mask tests; Mosaic's scalar core has no
+    bitcast/clz/popcount."""
+    r = jnp.int32(0)
+    for i, m in enumerate(_ILOG2_MASKS):
+        r = r | (((b & jnp.int32(m)) != 0).astype(jnp.int32) << i)
+    return r
+
+
+def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False):
+    """Drive ``visit(pos, win) -> win`` over every set bit of the two-level
+    mask in ascending (front-to-back) position order, threading the live
+    window. ``read_summ(sw)``/``read_word(wi)`` fetch mask words from SMEM.
+    ``early_exit`` additionally stops the whole scan once ``win <= 0``
+    (any-hit all-occluded)."""
+
+    def live_cond(c):
+        if early_exit:
+            return (c[0] != 0) & (c[1] > 0.0)
+        return c[0] != 0
+
+    def outer_cond(c):
+        if early_exit:
+            return (c[0] < s) & (c[1] > 0.0)
+        return c[0] < s
+
+    def outer_body(c):
+        sw, win = c
+
+        def summ_body(cc):
+            sword, win = cc
+            b = sword & -sword
+            wi = _ilog2(b)
+            widx = sw * 32 + wi
+
+            def word_body(ccc):
+                word, win = ccc
+                wb = word & -word
+                bi = _ilog2(wb)
+                win = visit(widx * 32 + bi, win)
+                return word & (word - 1), win
+
+            _, win = jax.lax.while_loop(
+                live_cond, word_body, (read_word(widx), win)
+            )
+            return sword & (sword - 1), win
+
+        _, win = jax.lax.while_loop(live_cond, summ_body, (read_summ(sw), win))
+        return sw + 1, win
+
+    return jax.lax.while_loop(outer_cond, outer_body, (0, win0))[1]
+
+
+def _walk_closest_kernel(
+    summ_ref, words_ref, tent_ref, oct_ref, rays_ref, ord_ref, w_hbm,
+    out_ref, stat_ref, wv, m_ref, c_ref, sem_w,
+    *, s, gblk, winup, counters,
+):
+    """Streamed ordered closest hit for ``gblk`` ray blocks per grid step
+    (batching amortizes per-step pipeline overhead). Output block
+    [gblk*SBLK, 2]: col 0 best_t (BIG if none), col 1 global PADDED layout
+    slot of the winner (-1 none). Rays arrive in COLUMN layout
+    [gblk*SBLK, 8] (d xyz | o xyz | pad | t_limit) so no in-kernel
+    transpose is needed. ``stat_ref`` (SMEM [8] i32) collects observability
+    counters ([1] tested chunks, [2] window-skipped) — statically gated by
+    ``counters``: its SMEM read-modify-writes serialize the stream, debug
+    only."""
+    _load_w(w_hbm, wv, sem_w)
+    eps = jnp.float32(EPSILON)
+    chf = jnp.float32(CH_W)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (SBLK, CH_W), 1).astype(jnp.float32)
+    if counters:
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for z in range(8):
+                stat_ref[z] = 0
+
+    def g_body(g, _):
+        rays8 = rays_ref[0, g]
+        rc = (rays8[:, 0:1], rays8[:, 1:2], rays8[:, 2:3],
+              rays8[:, 3:4], rays8[:, 4:5], rays8[:, 5:6])
+        tlim = rays8[:, 7:8]
+        m_ref[...] = jnp.full((SBLK, 1), _BIG, jnp.float32)
+        c_ref[...] = jnp.full((SBLK, 1), -1.0, jnp.float32)
+        oct = oct_ref[0, g, 0]
+
+        def visit(p, win):
+            te = tent_ref[0, g, p]
+
+            def test(win):
+                if counters:
+                    stat_ref[1] = stat_ref[1] + 1
+                c = ord_ref[oct, p]
+                tm = _chunk_t(wv, rc, c, tlim, eps)
+                # reduce this chunk to per-ray (t, winner-lane) right away:
+                # the accumulators stay [SBLK, 1], so per-block init/merge
+                # cost no longer scales with CH_W
+                rowmin = jnp.min(tm, axis=1, keepdims=True)
+                lane = jnp.min(
+                    jnp.where(tm == rowmin, lane_row, _BIG),
+                    axis=1, keepdims=True,
+                )
+                gid = c.astype(jnp.float32) * chf + lane
+                upd = rowmin < m_ref[...]
+                c_ref[...] = jnp.where(upd, gid, c_ref[...])
+                m_ref[...] = jnp.where(upd, rowmin, m_ref[...])
+                if not winup:
+                    return win
+                win2 = jnp.max(jnp.minimum(m_ref[...], tlim))
+                return jnp.minimum(win, win2)
+
+            def skip(win):
+                if counters:
+                    stat_ref[2] = stat_ref[2] + 1
+                return win
+
+            return jax.lax.cond(te <= win * 1.00002 + 1e-5, test, skip, win)
+
+        _scan_mask(
+            lambda sw: summ_ref[0, g, sw],
+            lambda wi: words_ref[0, g, wi],
+            s, visit, jnp.max(tlim),
+        )
+
+        t_p = m_ref[...]
+        g_p = jnp.where(t_p < _BIG, c_ref[...], -1.0)
+        out_ref[0, g, :, 0:1] = t_p
+        out_ref[0, g, :, 1:2] = g_p
+
+    # STATIC unroll: dynamic (fori) indices into block refs miscompile on
+    # Mosaic (silent corruption of dynamically-indexed stores, observed on
+    # hardware only — the interpreter is fine); with a Python loop every
+    # ref access in the step is static.
+    for g in range(gblk):
+        g_body(g, 0)
+
+
+def _walk_any_kernel(
+    summ_ref, words_ref, tent_ref, oct_ref, rays_ref, ord_ref, w_hbm,
+    out_ref, wv, occ_ref, sem_w,
+    *, s, gblk,
+):
+    """Streamed any-hit (shadow) test, ``gblk`` blocks per grid step:
+    out [gblk*SBLK, 1] > 0 iff occluded. Early-exits a block once every
+    live lane is occluded (blas.rs:257-294 at block granularity);
+    division-free leaf test."""
+    _load_w(w_hbm, wv, sem_w)
+    eps = jnp.float32(EPSILON)
+
+    def g_body(g, _):
+        rays8 = rays_ref[0, g]
+        rc = (rays8[:, 0:1], rays8[:, 1:2], rays8[:, 2:3],
+              rays8[:, 3:4], rays8[:, 4:5], rays8[:, 5:6])
+        tlim = rays8[:, 7:8]
+        occ_ref[...] = jnp.zeros((SBLK, 1), jnp.float32)
+        oct = oct_ref[0, g, 0]
+
+        def visit(p, win):
+            te = tent_ref[0, g, p]
+
+            def test(win):
+                c = ord_ref[oct, p]
+                det, td, ud, vd = _chunk_terms(wv, rc, c)
+                c1 = _same(td - det * eps, det * tlim - td)
+                c2 = _same(ud, det - ud)
+                c3 = _same(vd, det - ud - vd)
+                ok = c1 & c2 & c3 & (det != 0.0)
+                hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
+                occ_ref[...] = jnp.maximum(occ_ref[...], hit)
+                win2 = jnp.max(jnp.where(occ_ref[...] > 0.5, 0.0, tlim))
+                return jnp.minimum(win, win2)
+
+            return jax.lax.cond(
+                te <= win * 1.00002 + 1e-5, test, lambda w: w, win
+            )
+
+        _scan_mask(
+            lambda sw: summ_ref[0, g, sw],
+            lambda wi: words_ref[0, g, wi],
+            s, visit, jnp.max(tlim), early_exit=True,
+        )
+        out_ref[0, g, :, 0:1] = occ_ref[...]
+
+    for g in range(gblk):  # static unroll — see _walk_closest_kernel
+        g_body(g, 0)
+
+
+# ---------------------------------------------------------------------------
+# jitted call wrappers
+# ---------------------------------------------------------------------------
+
+G_BLK = 8  # ray blocks per grid step
+
+
+def _pack_rays_cols(origin, direction, t_limit):
+    """Column-layout ray pack [npad, 8]: d xyz | o xyz | pad | t_limit,
+    padded to a multiple of G_BLK*SBLK rows. Invalid lanes (dead/regen:
+    t_limit <= 0, non-finite o/d — integrator conventions) are zeroed with
+    t_limit 0: zero direction -> det == 0 -> no hits anywhere, and a
+    t_limit of 0 keeps sign-form any-hit tests from firing on geometry
+    BEHIND a dead lane."""
+    n = origin.shape[0]
+    valid = (
+        (t_limit > 0.0)
+        & jnp.isfinite(origin).all(axis=1)
+        & jnp.isfinite(direction).all(axis=1)
+    )
+    o = jnp.where(valid[:, None], origin, 0.0)
+    d = jnp.where(valid[:, None], direction, 0.0)
+    tl = jnp.where(valid, jnp.minimum(t_limit, 3.0e38), 0.0)
+    step = G_BLK * SBLK
+    npad = -(-n // step) * step
+    cols = jnp.concatenate(
+        [d, o, jnp.zeros((n, 1), jnp.float32), tl[:, None]], axis=1
+    )
+    return jnp.pad(cols, ((0, npad - n), (0, 0))), n
+
+
+def _pad_all(origin, direction, t_limit, npad, n):
+    return (
+        jnp.pad(origin, ((0, npad - n), (0, 0))),
+        jnp.pad(direction, ((0, npad - n), (0, 0))),
+        jnp.pad(t_limit, (0, npad - n)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "winup", "counters"))
+def _walk_closest_call(eng, origin, direction, t_limit, interpret,
+                       winup=True, counters=False):
+    w = eng["w"]
+    t_limit = _exit_clamp(eng, origin, direction, t_limit)
+    rays_c, n = _pack_rays_cols(origin, direction, t_limit)
+    npad = rays_c.shape[0]
+    nb = npad // SBLK
+    nbg = nb // G_BLK
+    o_p, d_p, tl_p = _pad_all(origin, direction, t_limit, npad, n)
+    summ, words, tent, oct_b = _build_mask(eng, o_p, d_p, tl_p)
+    s = summ.shape[1]
+    kq = tent.shape[1]
+    out, stat = pl.pallas_call(
+        functools.partial(_walk_closest_kernel, s=s, gblk=G_BLK, winup=winup,
+                          counters=counters),
+        grid=(nbg,),
+        out_shape=(
+            jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 2), jnp.float32),
+            jax.ShapeDtypeStruct((8,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, SBLK, 8), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, G_BLK, SBLK, 2), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(w.shape, jnp.float32),
+            pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        summ.reshape(nbg, G_BLK, s),
+        words.reshape(nbg, G_BLK, s * 32),
+        tent.reshape(nbg, G_BLK, kq),
+        oct_b.reshape(nbg, G_BLK, 1),
+        rays_c.reshape(nbg, G_BLK, SBLK, 8), eng["ord_oct"], w,
+    )
+    return out.reshape(npad, 2)[:n], stat
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _walk_any_call(eng, origin, direction, t_limit, interpret):
+    w = eng["w"]
+    t_limit = _exit_clamp(eng, origin, direction, t_limit)
+    rays_c, n = _pack_rays_cols(origin, direction, t_limit)
+    npad = rays_c.shape[0]
+    nb = npad // SBLK
+    nbg = nb // G_BLK
+    o_p, d_p, tl_p = _pad_all(origin, direction, t_limit, npad, n)
+    summ, words, tent, oct_b = _build_mask(eng, o_p, d_p, tl_p)
+    s = summ.shape[1]
+    kq = tent.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_walk_any_kernel, s=s, gblk=G_BLK),
+        grid=(nbg,),
+        out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 1), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, SBLK, 8), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G_BLK, SBLK, 1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(w.shape, jnp.float32),
+            pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        summ.reshape(nbg, G_BLK, s),
+        words.reshape(nbg, G_BLK, s * 32),
+        tent.reshape(nbg, G_BLK, kq),
+        oct_b.reshape(nbg, G_BLK, 1),
+        rays_c.reshape(nbg, G_BLK, SBLK, 8), eng["ord_oct"], w,
+    )
+    return out.reshape(-1)[:n]
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# coherence sort
+# ---------------------------------------------------------------------------
+
+def _spread3(x):
+    """Interleave 8-bit value into every 3rd bit (morton part1by2)."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _spread2(x):
+    """Interleave 8-bit value into every 2nd bit (morton part1by1)."""
+    x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+    x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x << 2)) & jnp.uint32(0x33333333)
+    x = (x | (x << 1)) & jnp.uint32(0x55555555)
+    return x
+
+
+def _coherence_order(eng, origin, direction, t_limit):
+    """Sort key, 32 bits: direction octant (3) | origin morton (15: 5/axis)
+    | direction-octahedral morton (14: 7+7). Shared-origin bundles (camera,
+    point-light shadows) collapse to one origin cell, so the key MUST keep
+    sorting on direction below it — block frustum tightness is the whole
+    game. Invalid lanes sort to the back (their blocks gate nothing in)."""
+    q = jnp.clip((origin - eng["sort_lo"]) * eng["sort_scale"], 0.0, 1.0)
+    cell = (q * 31.0).astype(jnp.uint32)
+    om = (
+        (_spread3(cell[:, 0]) << 2)
+        | (_spread3(cell[:, 1]) << 1)
+        | _spread3(cell[:, 2])
+    )
+    octant = (
+        ((direction[:, 0] < 0).astype(jnp.uint32) << 2)
+        | ((direction[:, 1] < 0).astype(jnp.uint32) << 1)
+        | (direction[:, 2] < 0).astype(jnp.uint32)
+    )
+    # octahedral map of |d| within the octant -> (u, v) in [0,1]
+    ad = jnp.abs(direction)
+    s = ad[:, 0] + ad[:, 1] + ad[:, 2]
+    s = jnp.where(s > 0, s, 1.0)
+    u = (ad[:, 0] / s * 127.0).astype(jnp.uint32)
+    v = (ad[:, 1] / s * 127.0).astype(jnp.uint32)
+    dm = (_spread2(u) << 1) | _spread2(v)
+    key = (octant << 29) | (om << 14) | dm
+    invalid = ~(
+        (t_limit > 0.0)
+        & jnp.isfinite(origin).all(axis=1)
+        & jnp.isfinite(direction).all(axis=1)
+    )
+    key = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), key)
+    return jnp.argsort(key)
+
+
+# ---------------------------------------------------------------------------
+# public API (traversal.closest_hit / any_hit contracts)
+# ---------------------------------------------------------------------------
+
+def walk_closest_hit_shade(eng: dict, origin, direction, t_limit):
+    """Closest hit + shading attributes: ``(tri_idx, t, u, v, normal_raw
+    [N,3], model_id [N] i32)`` — tri_idx in ORIGINAL soup order."""
+    if WALK_SORT:
+        order = _coherence_order(eng, origin, direction, t_limit)
+        inv = jnp.argsort(order)
+        o_s, d_s, tl_s = origin[order], direction[order], t_limit[order]
+    else:
+        o_s, d_s, tl_s = origin, direction, t_limit
+    out, _ = _walk_closest_call(eng, o_s, d_s, tl_s, _interpret_default())
+    if WALK_SORT:
+        out = out[inv]
+    gl = out[:, 1].astype(jnp.int32)  # padded global slot
+    hit = gl >= 0
+    glc = jnp.maximum(gl, 0)
+    row = jnp.take(eng["aux"], glc, axis=0)  # [N, AUX_COLS] XLA gather
+
+    # exact t/u/v in traversal._tri_intersect expression order
+    col = lambda k: row[:, k]
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
+    det = col(0) * dx + col(1) * dy + col(2) * dz
+    td = col(3) - (col(0) * ox + col(1) * oy + col(2) * oz)
+    px = det * ox + td * dx
+    py = det * oy + td * dy
+    pz = det * oz + td * dz
+    ud = col(4) * px + col(5) * py + col(6) * pz + det * col(7)
+    vd = col(8) * px + col(9) * py + col(10) * pz + det * col(11)
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    t = jnp.where(hit, td * inv_det, t_limit)
+    u = jnp.where(hit, ud * inv_det, 0.0)
+    v = jnp.where(hit, vd * inv_det, 0.0)
+    w_ = 1.0 - u - v
+    normal = (
+        w_[:, None] * row[:, 12:15]
+        + u[:, None] * row[:, 15:18]
+        + v[:, None] * row[:, 18:21]
+    )
+    model = jnp.where(hit, row[:, 21].astype(jnp.int32), 0)
+    orig = jnp.where(hit, jnp.take(eng["origmap"], glc), -1)
+    return orig, t, u, v, normal, model
+
+
+def walk_closest_hit(eng: dict, origin, direction, t_limit):
+    """Same contract as `traversal.closest_hit`: (tri_idx, t, u, v)."""
+    best, t, u, v, _, _ = walk_closest_hit_shade(eng, origin, direction, t_limit)
+    return best, t, u, v
+
+
+def walk_stats(eng: dict, origin, direction, t_limit, winup=True):
+    """Observability: run the closest-hit kernel with counters and return
+    them — tested chunks and window-skipped entries (listed = sum)."""
+    if WALK_SORT:
+        order = _coherence_order(eng, origin, direction, t_limit)
+        origin, direction, t_limit = (
+            origin[order], direction[order], t_limit[order]
+        )
+    _, cnt = _walk_closest_call(
+        eng, origin, direction, t_limit,
+        _interpret_default(), winup=winup, counters=True,
+    )
+    cnt = np.asarray(cnt)
+    return {"listed": int(cnt[1] + cnt[2]), "visits": int(cnt[1]),
+            "skipped": int(cnt[2])}
+
+
+def walk_any_hit(eng: dict, origin, direction, t_limit):
+    if WALK_SORT:
+        order = _coherence_order(eng, origin, direction, t_limit)
+        inv = jnp.argsort(order)
+        out = _walk_any_call(
+            eng, origin[order], direction[order], t_limit[order],
+            _interpret_default(),
+        )
+        return out[inv] > 0.0
+    out = _walk_any_call(eng, origin, direction, t_limit, _interpret_default())
+    return out > 0.0
