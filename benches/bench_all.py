@@ -43,11 +43,15 @@ def main():
 
         # the TPU tunnel faults transiently; retry each config independently
         def attempt():
+            # HONESTY NOTE: on this tunneled TPU platform block_until_ready
+            # returns before execution finishes (measured 2026-08-17); only a
+            # host transfer (np.asarray) truly synchronizes. Sync on the tiny
+            # rays counter INSIDE the timed region, exactly like bench.py.
             rad, rays = render_film(scene, ndc, org, 0, args.size, args.size, args.spp, **kw)
-            rad.block_until_ready()
+            np.asarray(rays)
             t0 = time.perf_counter()
             rad, rays = render_film(scene, ndc, org, args.spp, args.size, args.size, args.spp, **kw)
-            rad.block_until_ready()
+            rays = np.asarray(rays)
             return rad, rays, time.perf_counter() - t0
 
         rad = None
@@ -66,6 +70,10 @@ def main():
             engine = "sweep-static"
         elif "stream" in scene["bvh"]:
             engine = "sweep-loop"
+        elif "walk" in scene["tri"]:
+            engine = "walk"
+        elif "dense_stream" in scene["tri"]:
+            engine = "dense-stream"
         elif "dense_pl" in scene["tri"]:
             engine = "dense-pallas"
         elif "dense" in scene["tri"]:

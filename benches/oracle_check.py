@@ -76,7 +76,21 @@ def main():
         lim = jnp.full(n, 3e38, jnp.float32)
         oj, dj = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
         tri = scene["tri"]
-        if "dense_pl" in tri:
+        if "walk" in tri:
+            from path_tracer_tpu.trace.walk import walk_closest_hit
+
+            gi, gt, _, _ = walk_closest_hit(tri["walk"], oj, dj, lim)
+            engine = "walk"
+        elif "dense_stream" in tri:
+            from path_tracer_tpu.trace.dense_stream import (
+                dense_stream_closest_hit_shade,
+            )
+
+            gi, gt, _, _, _, _ = dense_stream_closest_hit_shade(
+                tri["dense_stream"], oj, dj, lim
+            )
+            engine = "dense_stream"
+        elif "dense_pl" in tri:
             from path_tracer_tpu.trace.dense_pallas import dense_pl_closest_hit
 
             gi, gt, _, _ = dense_pl_closest_hit(tri["dense_pl"], oj, dj, lim)

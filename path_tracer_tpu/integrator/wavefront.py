@@ -94,6 +94,11 @@ def _world_closest(scene, o, d, lim):
         )
         return (*out, None)
     tri = scene["tri"]
+    if "walk" in tri:
+        from path_tracer_tpu.trace.walk import walk_closest_hit_shade
+
+        ti, t, u, v, n_raw, model = walk_closest_hit_shade(tri["walk"], o, d, lim)
+        return ti, t, u, v, jnp.full_like(ti, -1), {"n_raw": n_raw, "model": model}
     if "dense_pl" in tri and "aux" in tri["dense_pl"]:
         from path_tracer_tpu.trace.dense_pallas import dense_pl_closest_hit_shade
 
@@ -123,6 +128,10 @@ def _world_any(scene, o, d, lim):
         return any_hit_twolevel(
             tl["tlas_packed"], tl["blas_packed"], tl["inst_rows"], tl["tri_packed"], o, d, lim
         )
+    if "walk" in scene["tri"]:
+        from path_tracer_tpu.trace.walk import walk_any_hit
+
+        return walk_any_hit(scene["tri"]["walk"], o, d, lim)
     return any_hit(scene["bvh"], scene["tri"], o, d, lim)
 
 

@@ -245,8 +245,30 @@ class Scene:
             pack_dense_stream,
         )
 
+        import os
+
+        from path_tracer_tpu.trace.walk import WALK_MAX_TRIS, pack_walk
+
+        # Engine preference for BVH-scale scenes on TPU: the walk engine
+        # (chunk-gated ordered traversal, trace/walk.py) replaces the O(T)
+        # dense engines above the fused-kernel size. PT_WALK=0 forces the
+        # dense engines (measurement/fallback).
+        want_walk = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("PT_WALK", "1") != "0"
+            and DENSE_PL_MAX_TRIS < self.num_world_tris <= WALK_MAX_TRIS
+        )
+
         if "stream_static" not in data["bvh"] and "stream" not in data["bvh"]:
-            if (jax.default_backend() == "tpu"
+            if want_walk:
+                data["tri"]["walk"] = {
+                    k: jnp.asarray(v)
+                    for k, v in pack_walk(
+                        self.tri, self.tri["normals"].reshape(t, 9),
+                        self.tri["model"], self.tri["positions"],
+                    ).items()
+                }
+            elif (jax.default_backend() == "tpu"
                     and self.num_world_tris <= DENSE_PL_MAX_TRIS):
                 data["tri"]["dense_pl"] = {
                     "w": jnp.asarray(pack_dense_pl(self.tri)),

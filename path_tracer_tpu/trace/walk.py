@@ -69,7 +69,10 @@ SBLK = 128     # rays per block
 # VMEM-resident weight table: 64 B/tri, ~16 MB VMEM/core minus scratch.
 WALK_MAX_TRIS = 196_608
 # Restore ray coherence before the kernel (block frustum tightness).
-WALK_SORT = True
+# PT_WALK_SORT=0 disables (the argsort is expensive on TPU; measured A/B).
+import os as _os
+
+WALK_SORT = _os.environ.get("PT_WALK_SORT", "1") != "0"
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,55 @@
+"""Walk engine through the FULL wavefront integrator (CPU interpreter).
+
+scene.device() only selects the walk engine on real TPUs; here we force the
+packed walk tables into a device scene and render a small film, checking it
+against the default CPU engine for the same scene/seeds. The traversal
+engine is an implementation detail — radiance must agree to Monte-Carlo
+noise (identical seeds, same estimator, only knife-edge FMA rounding may
+flip a handful of paths).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from path_tracer_tpu import scenes
+from path_tracer_tpu.integrator.wavefront import render_film
+from path_tracer_tpu.trace import walk
+
+
+def _render(scene, scene_host, cam, w, h, spp):
+    ndc = jnp.asarray(cam.view_proj_inverse())
+    org = jnp.asarray(cam.origin)
+    rad, rays = render_film(
+        scene, ndc, org, 0, w, h, spp,
+        max_bounces=16, enable_nee=True, has_lights=True,
+        mtypes=scene_host.active_mtypes,
+        any_volumes=scene_host.has_volumes,
+    )
+    return np.asarray(rad) / spp
+
+
+def test_walk_engine_through_integrator():
+    scene_host, cam = scenes.mesh_scene(subdivisions=4)
+    scene_ref = scene_host.device()
+    assert "walk" not in scene_ref["tri"]  # CPU backend default
+    img_ref = _render(scene_ref, scene_host, cam, 64, 64, 4)
+
+    t = scene_host.num_world_tris
+    scene_walk = scene_host.device()
+    scene_walk["tri"]["walk"] = {
+        k: jnp.asarray(v)
+        for k, v in walk.pack_walk(
+            scene_host.tri, scene_host.tri["normals"].reshape(t, 9),
+            scene_host.tri["model"], scene_host.tri["positions"],
+        ).items()
+    }
+    img_walk = _render(scene_walk, scene_host, cam, 64, 64, 4)
+
+    # identical seeds + same estimator: images agree except for knife-edge
+    # FMA-rounding path flips (a handful of pixels at most)
+    diff = np.abs(img_walk - img_ref).max(axis=-1)
+    frac_same = float((diff < 1e-5).mean())
+    assert frac_same > 0.98, frac_same
+    assert abs(img_walk.mean() - img_ref.mean()) < 0.01 * max(img_ref.mean(), 1e-6)
