@@ -1,0 +1,86 @@
+"""Interactive-loop throughput: frames/s at 1024x576 with and without
+camera motion (state.rs:557-586 / main.rs:179-218 parity vehicle).
+
+Two modes per scene:
+* static   — camera still: progressive accumulation (accumulate.wgsl path)
+* moving   — WASD+mouse each frame: velocity + temporal reprojection
+             (velocity.wgsl + compute.wgsl TAA path)
+
+Every frame is fully synchronized to the host through the tonemapped
+display image (np.asarray) — the same cost a presentation engine pays to
+hand the frame to a swapchain; frames/s therefore includes tonemap +
+readback, not just the render dispatch. ``--sink DIR`` writes a PNG
+sequence (the environment's stand-in for a winit window).
+
+Usage: python benches/interactive_fps.py [--scene cornell_specular]
+       [--width 1024] [--height 576] [--frames 48] [--sink DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(mode: str, scene_name: str, w: int, h: int, frames: int,
+        sink: str | None) -> dict:
+    import numpy as np
+
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.interactive.session import InteractiveRenderer
+
+    scene_host, cam = getattr(scenes, scene_name)(aspect=w / h)
+    r = InteractiveRenderer(scene_host, cam, w, h)
+
+    def step(i: int) -> np.ndarray:
+        if mode == "moving":
+            # gentle orbit + strafe: exercises velocity + reprojection
+            r.mouse(3.0 if i % 2 == 0 else -2.0, 1.0, 1.0 / 60.0)
+            r.key("w" if i % 4 < 2 else "d", 1.0 / 60.0)
+        r.frame()
+        return r.display()  # host sync: the "present"
+
+    img = step(0)  # warmup/compile
+    t0 = time.perf_counter()
+    for i in range(1, frames + 1):
+        img = step(i)
+        if sink and i % 8 == 0:
+            # display() is already tonemapped + image-row order
+            from PIL import Image
+
+            data = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+            Image.fromarray(data, "RGB").save(
+                os.path.join(sink, f"{mode}_{i:04d}.png"))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(img).all()
+    return {
+        "mode": mode, "scene": scene_name, "size": f"{w}x{h}",
+        "frames": frames, "fps": round(frames / dt, 2),
+        "ms_per_frame": round(1e3 * dt / frames, 2),
+        "mean": float(img.mean()),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="cornell_specular")
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--height", type=int, default=576)
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--sink", default=None,
+                    help="directory for a PNG frame sequence (frame sink)")
+    args = ap.parse_args()
+    if args.sink:
+        os.makedirs(args.sink, exist_ok=True)
+    for mode in ("static", "moving"):
+        print(json.dumps(run(mode, args.scene, args.width, args.height,
+                             args.frames, args.sink)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,13 @@ def _world_closest(scene, o, d, lim):
     (no XLA-side per-triangle gathers needed)."""
     if "twolevel" in scene:
         tl = scene["twolevel"]
+        if "iwalk" in tl:
+            from path_tracer_tpu.trace.iwalk import iwalk_closest_hit_shade
+
+            ti, t, u, v, n_raw, model, inst = iwalk_closest_hit_shade(
+                tl["iwalk"], o, d, lim
+            )
+            return ti, t, u, v, inst, {"n_raw": n_raw, "model": model}
         out = closest_hit_twolevel(
             tl["tlas_packed"], tl["blas_packed"], tl["inst_rows"], tl["tri_packed"], o, d, lim
         )
@@ -125,6 +132,10 @@ def _world_closest(scene, o, d, lim):
 def _world_any(scene, o, d, lim):
     if "twolevel" in scene:
         tl = scene["twolevel"]
+        if "iwalk" in tl:
+            from path_tracer_tpu.trace.iwalk import iwalk_any_hit
+
+            return iwalk_any_hit(tl["iwalk"], o, d, lim)
         return any_hit_twolevel(
             tl["tlas_packed"], tl["blas_packed"], tl["inst_rows"], tl["tri_packed"], o, d, lim
         )

@@ -36,6 +36,11 @@ class InteractiveRenderer:
     ):
         self.scene = scene_host.device() if hasattr(scene_host, "device") else scene_host
         self.has_lights = "light" in self.scene
+        # static scene specialization (compile only the materials present)
+        from path_tracer_tpu.integrator import bsdf as _bsdf
+
+        self.mtypes = getattr(scene_host, "active_mtypes", _bsdf.ALL_MTYPES)
+        self.any_volumes = getattr(scene_host, "has_volumes", True)
         self.camera = camera
         self.width = width
         self.height = height
@@ -75,6 +80,8 @@ class InteractiveRenderer:
             max_bounces=self.max_bounces,
             enable_nee=self.enable_nee,
             has_lights=self.has_lights,
+            mtypes=self.mtypes,
+            any_volumes=self.any_volumes,
         )
         colour = jnp.concatenate([rad, jnp.ones((rad.shape[0], 1), jnp.float32)], axis=1)
         colour = colour.reshape(h, w, 4)

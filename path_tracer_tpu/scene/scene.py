@@ -247,27 +247,39 @@ class Scene:
 
         import os
 
-        from path_tracer_tpu.trace.walk import WALK_MAX_TRIS, pack_walk
+        from path_tracer_tpu.trace.walk import (
+            WALK_MAX_TRIS,
+            WALK_PARTS_MAX_TRIS,
+            pack_walk,
+            pack_walk_parts,
+        )
 
         # Engine preference for BVH-scale scenes on TPU: the walk engine
         # (chunk-gated ordered traversal, trace/walk.py) replaces the O(T)
-        # dense engines above the fused-kernel size. PT_WALK=0 forces the
-        # dense engines (measurement/fallback).
+        # dense engines above the fused-kernel size; dragon-class soups
+        # beyond the single-part VMEM cap stream through the multi-part
+        # variant. PT_WALK=0 forces the dense engines (measurement/fallback).
         want_walk = (
             jax.default_backend() == "tpu"
             and os.environ.get("PT_WALK", "1") != "0"
-            and DENSE_PL_MAX_TRIS < self.num_world_tris <= WALK_MAX_TRIS
+            and DENSE_PL_MAX_TRIS < self.num_world_tris <= WALK_PARTS_MAX_TRIS
         )
+
+        def _up_tree(x):
+            if isinstance(x, dict):
+                return {k: _up_tree(v) for k, v in x.items()}
+            if isinstance(x, tuple):
+                return tuple(_up_tree(v) for v in x)
+            return jnp.asarray(x)
 
         if "stream_static" not in data["bvh"] and "stream" not in data["bvh"]:
             if want_walk:
-                data["tri"]["walk"] = {
-                    k: jnp.asarray(v)
-                    for k, v in pack_walk(
-                        self.tri, self.tri["normals"].reshape(t, 9),
-                        self.tri["model"], self.tri["positions"],
-                    ).items()
-                }
+                packer = (pack_walk if self.num_world_tris <= WALK_MAX_TRIS
+                          else pack_walk_parts)
+                data["tri"]["walk"] = _up_tree(packer(
+                    self.tri, self.tri["normals"].reshape(t, 9),
+                    self.tri["model"], self.tri["positions"],
+                ))
             elif (jax.default_backend() == "tpu"
                     and self.num_world_tris <= DENSE_PL_MAX_TRIS):
                 data["tri"]["dense_pl"] = {

@@ -96,12 +96,30 @@ class TwoLevelGeometry:
         tlas_flat = tlas_mod.build_tlas(np.stack(inst_bmin), np.stack(inst_bmax))
         self.tlas_packed = pack_bvh(tlas_flat)
         self.num_instances = len(inst_matrices)
+        self.models = models
+        self.num_object_tris = tri_offset
 
     def device(self) -> dict:
-        return {
+        import os
+
+        import jax
+
+        out = {
             "tlas_packed": jnp.asarray(self.tlas_packed),
             "blas_packed": jnp.asarray(self.blas_packed),
             "inst_rows": jnp.asarray(self.inst_rows),
             "tri_packed": jnp.asarray(self.tri_packed),
             "normals_flat": jnp.asarray(self.normals_flat),
         }
+        # Fast two-level engine on TPU: instance-gated walk with in-kernel
+        # object-space ray transforms (trace/iwalk.py). PT_IWALK=0 falls
+        # back to the gather-based TLAS/BLAS phase machine.
+        from path_tracer_tpu.trace.iwalk import IWALK_MAX_OBJECT_TRIS, pack_iwalk
+
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("PT_IWALK", "1") != "0"
+                and self.num_object_tris <= IWALK_MAX_OBJECT_TRIS):
+            out["iwalk"] = {
+                k: jnp.asarray(v) for k, v in pack_iwalk(self.models).items()
+            }
+        return out

@@ -108,6 +108,61 @@ def many_instance_scene(grid: int = 6, subdivisions: int = 2, aspect: float = 1.
     return Scene(models), cornell_camera(aspect)
 
 
+def procedural_sky(h: int = 2048) -> np.ndarray:
+    """Synthetic 4K-class equirect HDR: gradient sky + ground + sun disk
+    with a soft halo — stands in for the reference's 4K studio env
+    (main.rs:75, image_helper.rs:61-88) at the same resolution/cost."""
+    w = h * 2
+    v = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]   # 0 top
+    u = np.linspace(0.0, 1.0, w, dtype=np.float32)[None, :]
+    theta = v * np.pi                  # polar from +y
+    phi = u * 2.0 * np.pi
+    # sky gradient: zenith blue -> horizon warm white; ground brown
+    sy = np.cos(theta) * np.ones_like(phi)   # [h, w]; +1 up, -1 down
+    up = np.clip(sy, 0.0, 1.0)
+    horizon = np.exp(-np.abs(sy) * 6.0)
+    sky = (
+        up[..., None] * np.float32([0.22, 0.38, 0.9])
+        + horizon[..., None] * np.float32([1.1, 0.95, 0.78])
+    )
+    ground = np.float32([0.25, 0.2, 0.16]) * (0.4 + 0.6 * np.clip(-sy, 0, 1))[..., None]
+    img = np.where((sy > 0)[..., None], sky, ground).astype(np.float32)
+    # sun: 2 degree disk at 35 deg elevation + halo
+    sun_dir = np.float32([np.cos(0.61) * np.cos(1.1), np.sin(0.61),
+                          np.cos(0.61) * np.sin(1.1)])
+    d = np.stack([np.sin(theta) * np.cos(phi) * np.ones_like(v),
+                  np.cos(theta) * np.ones_like(u),
+                  np.sin(theta) * np.sin(phi) * np.ones_like(v)], axis=-1)
+    cos_s = np.clip(d @ sun_dir, -1.0, 1.0)
+    ang = np.arccos(cos_s)
+    img += np.float32([800.0, 700.0, 550.0]) * (ang < 0.018)[..., None]
+    img += np.float32([4.0, 3.2, 2.2]) * np.exp(-ang * 14.0)[..., None]
+    # the loader linearizes with gamma 2.2 (image_helper.rs:75-80); encode so
+    # the round-trip lands on the values above
+    return img ** (1.0 / 2.2)
+
+
+def dragon_scene(nu: int = 768, nv: int = 288, env_h: int = 2048,
+                 aspect: float = 1.0) -> tuple[Scene, Camera]:
+    """The reference's showcase configuration (main.rs:100-117): Cornell
+    shell + TWO instances of a dragon-class mesh (~442K tris each, ~885K
+    baked — dragon.obj scale) in brown GGX glass with an absorbing/
+    scattering medium (main.rs:80,87), under a 4K-class equirect env map
+    (main.rs:75). Exercises the multi-part walk engine, volumes, NEE and
+    the env miss shader in one scene."""
+    models = _cornell_shell()
+    vol = Volume(absorption=(0.4, 0.62, 0.7), k=0.1, c=1.0 / 200.0, g=0.6)
+    glass = GGXDielectric((0.95, 0.95, 0.95), 0.2, 1.5, vol)
+    p, n = procedural.knot(scale=42.0, nu=nu, nv=nv)
+    mats = [
+        rigid_transform(rotation_y(0.7), (-120.0, 160.0, -20.0)),
+        rigid_transform(rotation_y(2.3), (130.0, 390.0, 40.0)),
+    ]
+    models.append(Model(glass, matrices=mats, positions=p, normals=n))
+    env = procedural_sky(env_h)
+    return Scene(models, env=env), cornell_camera(aspect)
+
+
 def env_sphere_scene(env_size: int = 64, aspect: float = 1.0) -> tuple[Scene, Camera]:
     """Mirror sphere under a synthetic gradient environment map — exercises
     the equirect miss shader (integrator.rs:256-266)."""

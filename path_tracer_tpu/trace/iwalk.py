@@ -1,0 +1,550 @@
+"""Instanced walk — the fast two-level (TLAS/BLAS) traversal engine.
+
+The reference traverses a TLAS of instance AABBs, then transforms the ray
+into object space and descends the instance's shared BLAS
+(tlas.rs:66-110, blas.rs:214-294). The TPU-first mapping reuses the walk
+engine's split of labor (trace/walk.py):
+
+* XLA gates every ray BLOCK against every INSTANCE world AABB at once —
+  the same vectorized slab-in-multiply-form + two-level bitmask machinery
+  (`walk._build_mask`), with instance boxes where walk has chunk boxes,
+  and per-octant front-to-back instance orders resolved statically from a
+  SAH tree over the instance boxes (the reference's near-child-first TLAS
+  descent, tlas_bvh.rs:85-138, at instance granularity).
+* The Pallas kernel scans each block's surviving instances front-to-back.
+  Per instance it reads the 12 inverse-rigid scalars from SMEM, transforms
+  the block's rays into object space on the VPU (rigid ⇒ t is unchanged,
+  model.rs:40-43 guarantees no scale — so the live t-window and the winner
+  compare need NO rescaling), and runs the instance's model's dense chunk
+  list with the exact-f32 Havel-Herout chunk test. Model chunk tables are
+  shared across instances — that is the two-level memory saving.
+* Shading attributes resolve XLA-side from the winner (instance, slot):
+  object-space t/u/v recomputed in the kernel's exact expression order
+  from the gathered inverse transform, object normals interpolated from
+  the aux table and rotated to world by the instance's forward rotation
+  (the reference's deferred normal transform, tlas.rs:103-109).
+
+VMEM holds the concatenated model chunk tables (64 B/tri), so the engine
+serves scenes whose total OBJECT-space geometry fits `walk.WALK_MAX_TRIS` —
+massive instancing of moderate models (BASELINE config 5's regime), not
+two-level dragons (those take the baked multi-part walk path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from path_tracer_tpu.core.constants import EPSILON
+from path_tracer_tpu.scene.bvh import build_sah_tree, chunk_partition
+from path_tracer_tpu.trace.dense_pallas import _BIG, AUX_COLS, _same
+from path_tracer_tpu.trace.walk import (
+    CH_W,
+    G_BLK,
+    SBLK,
+    WALK_MAX_TRIS,
+    WALK_SORT,
+    WALK_SORT_ANY,
+    _build_mask,
+    _chunk_t,
+    _chunk_terms,
+    _coherence_order,
+    _interpret_default,
+    _load_w,
+    _octant_orders,
+    _pack_rays_cols,
+    _pad_all,
+    _scan_mask,
+    _unsort_rows,
+)
+
+IWALK_MAX_OBJECT_TRIS = WALK_MAX_TRIS
+
+
+# ---------------------------------------------------------------------------
+# host-side packing
+# ---------------------------------------------------------------------------
+
+def _model_chunk_tables(tri_sub: dict, normals9, pos, model_id: int,
+                        tri_off: int):
+    """One model's chunk tables in partition-DFS layout: ``w`` [8, k*2*CH_W]
+    compact plane table (walk layout), ``aux`` [k*CH_W, AUX_COLS]
+    OBJECT-space shading rows, ``orig`` [k*CH_W] global tri index."""
+    bmin = pos.min(axis=1)
+    bmax = pos.max(axis=1)
+    perm, starts, spans = chunk_partition(bmin, bmax, CH_W)
+    k = len(starts)
+    S = k * CH_W
+    slots = np.full(S, -1, np.int64)
+    for c in range(k):
+        s, n_ = starts[c], spans[c]
+        slots[c * CH_W : c * CH_W + n_] = perm[s : s + n_]
+    valid = slots >= 0
+    idx = slots[valid]
+
+    def fld(name):
+        return np.asarray(tri_sub[name], np.float32)
+
+    n0, n1, n2 = fld("n0"), fld("n1"), fld("n2")
+    d0, d1, d2 = fld("d0"), fld("d1"), fld("d2")
+    plane16 = np.zeros((16, S), np.float32)
+    plane16[0:3, valid] = n0[idx].T
+    plane16[3, valid] = d0[idx]
+    plane16[4:7, valid] = n1[idx].T
+    plane16[7, valid] = d1[idx]
+    plane16[8:11, valid] = n2[idx].T
+    plane16[11, valid] = d2[idx]
+    w = (
+        plane16.reshape(2, 8, k, CH_W)
+        .transpose(1, 2, 0, 3)
+        .reshape(8, k * 2 * CH_W)
+    )
+    aux = np.zeros((S, AUX_COLS), np.float32)
+    a = aux[valid]
+    a[:, 0:3] = n0[idx]
+    a[:, 3] = d0[idx]
+    a[:, 4:7] = n1[idx]
+    a[:, 7] = d1[idx]
+    a[:, 8:11] = n2[idx]
+    a[:, 11] = d2[idx]
+    a[:, 12:21] = np.asarray(normals9, np.float32)[idx]
+    a[:, 21] = float(model_id)
+    aux[valid] = a
+    orig = np.where(valid, tri_off + np.maximum(slots, 0), 0).astype(np.int32)
+    return w, aux, orig, k
+
+
+def _aabb_corners_world(bb_min, bb_max, matrix):
+    """Conservative world box: all 8 corners through the rigid transform
+    (fixes the reference's 2-corner transform, boundingbox.rs:51-57)."""
+    rot, tr = matrix[:, :3], matrix[:, 3]
+    pts = np.array(
+        [[x, y, z]
+         for x in (bb_min[0], bb_max[0])
+         for y in (bb_min[1], bb_max[1])
+         for z in (bb_min[2], bb_max[2])], np.float32,
+    )
+    world = pts @ rot.T + tr
+    return world.min(axis=0), world.max(axis=0)
+
+
+def pack_iwalk(models) -> dict:
+    """Pack the instanced-walk engine from a Model list (host numpy)."""
+    from path_tracer_tpu.scene import triangle as tri_mod
+
+    w_parts, aux_parts, orig_parts = [], [], []
+    chunk_off = [0]
+    tri_off = 0
+    obj_boxes = []
+    for mid, model in enumerate(models):
+        pos = np.asarray(model.positions, np.float32)
+        pre = tri_mod.precompute(pos)
+        w, aux, orig, k = _model_chunk_tables(
+            pre, np.asarray(model.normals, np.float32).reshape(-1, 9),
+            pos, mid, tri_off,
+        )
+        w_parts.append(w)
+        aux_parts.append(aux)
+        orig_parts.append(orig)
+        chunk_off.append(chunk_off[-1] + k)
+        obj_boxes.append((pos.min(axis=(0, 1)), pos.max(axis=(0, 1))))
+        tri_off += pos.shape[0]
+    if tri_off > IWALK_MAX_OBJECT_TRIS:
+        raise ValueError(
+            f"iwalk caps at {IWALK_MAX_OBJECT_TRIS} object tris, got {tri_off}")
+
+    w_all = np.concatenate(w_parts, axis=1)
+    aux_all = np.concatenate(aux_parts)
+    orig_all = np.concatenate(orig_parts)
+
+    # instance tables
+    inst_f, inst_c, inst_rows = [], [], []
+    ibmin, ibmax = [], []
+    for mid, model in enumerate(models):
+        lo, hi = obj_boxes[mid]
+        for matrix in model.matrices:
+            m = np.asarray(matrix, np.float32)
+            rot, tr = m[:, :3], m[:, 3]
+            rinv = rot.T
+            tinv = -rinv @ tr
+            inst_f.append(np.concatenate([rinv.reshape(9), tinv]))
+            inst_c.append((chunk_off[mid], chunk_off[mid + 1]))
+            row = np.zeros(24, np.float32)
+            row[0:9] = rinv.reshape(9)
+            row[9:12] = tinv
+            row[12:21] = rot.reshape(9)  # forward rotation (normals)
+            row[21] = float(mid)
+            inst_rows.append(row)
+            wlo, whi = _aabb_corners_world(lo, hi, m)
+            ibmin.append(wlo)
+            ibmax.append(whi)
+    n_inst = len(inst_f)
+    ibmin = np.stack(ibmin).astype(np.float32)
+    ibmax = np.stack(ibmax).astype(np.float32)
+
+    # per-octant front-to-back instance orders from a SAH tree over the
+    # instance world boxes (leaf slot == instance id: max_leaf=1, then map
+    # layout slot back through the builder's permutation)
+    nodes, perm2, root = build_sah_tree(ibmin, ibmax, max_leaf=1)
+    orders_layout = _octant_orders(nodes, root, n_inst)
+    orders = perm2[orders_layout]  # instance ids in visit order
+
+    kq = ((n_inst + 1023) // 1024) * 1024
+    cb_oct = np.full((8, 6, kq), 2.0e30, np.float32)
+    ord_pad = np.zeros((8, kq), np.int32)
+    for o in range(8):
+        po = orders[o]
+        cb_oct[o, 0:3, :n_inst] = ibmin[po].T
+        cb_oct[o, 3:6, :n_inst] = ibmax[po].T
+        ord_pad[o, :n_inst] = po
+
+    scene_lo = ibmin.min(axis=0)
+    scene_hi = ibmax.max(axis=0)
+    extent = np.maximum(scene_hi - scene_lo, 1e-6)
+    pad = 1e-4 * float(max(np.abs(scene_lo).max(), np.abs(scene_hi).max(), 1.0)) + 1e-6
+    return {
+        "w": w_all,
+        "cb_oct": cb_oct,
+        "ord_oct": ord_pad,
+        "inst_f": np.stack(inst_f).astype(np.float32),
+        "inst_c": np.asarray(inst_c, np.int32),
+        "inst_rows": np.stack(inst_rows),
+        "aux": aux_all,
+        "origmap": orig_all,
+        "sort_lo": scene_lo.astype(np.float32),
+        "sort_scale": (1.0 / extent).astype(np.float32),
+        "root_lo": (scene_lo - pad).astype(np.float32),
+        "root_hi": (scene_hi + pad).astype(np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _obj_rays(inst_f, i, rc):
+    """Transform block rays into instance ``i``'s object space: 12 SMEM
+    scalar reads + VPU FMAs. Rigid, so |d'| == |d| and t needs no rescale."""
+    dx, dy, dz, ox, oy, oz = rc
+    r = [inst_f[i, j] for j in range(12)]
+    ox2 = r[0] * ox + r[1] * oy + r[2] * oz + r[9]
+    oy2 = r[3] * ox + r[4] * oy + r[5] * oz + r[10]
+    oz2 = r[6] * ox + r[7] * oy + r[8] * oz + r[11]
+    dx2 = r[0] * dx + r[1] * dy + r[2] * dz
+    dy2 = r[3] * dx + r[4] * dy + r[5] * dz
+    dz2 = r[6] * dx + r[7] * dy + r[8] * dz
+    return (dx2, dy2, dz2, ox2, oy2, oz2)
+
+
+def _iwalk_closest_kernel(
+    summ_ref, words_ref, tent_ref, oct_ref, rays_ref, ord_ref, inst_f,
+    inst_c, w_hbm, out_ref, wv, m_ref, c_ref, i_ref, sem_w,
+    *, s, gblk,
+):
+    """Output block [gblk*SBLK, 4]: best_t | winner slot (chunk*CH_W+lane,
+    global across the concatenated model tables) | instance | pad."""
+    _load_w(w_hbm, wv, sem_w)
+    eps = jnp.float32(EPSILON)
+    chf = jnp.float32(CH_W)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (SBLK, CH_W), 1).astype(jnp.float32)
+
+    def g_body(g):
+        rays8 = rays_ref[0, g]
+        rc = (rays8[:, 0:1], rays8[:, 1:2], rays8[:, 2:3],
+              rays8[:, 3:4], rays8[:, 4:5], rays8[:, 5:6])
+        tlim = rays8[:, 7:8]
+        m_ref[...] = jnp.full((SBLK, 1), _BIG, jnp.float32)
+        c_ref[...] = jnp.full((SBLK, 1), -1.0, jnp.float32)
+        i_ref[...] = jnp.full((SBLK, 1), -1.0, jnp.float32)
+        oct = oct_ref[0, g, 0]
+
+        def visit(p, win):
+            te = tent_ref[0, g, p]
+
+            def test(win):
+                i = ord_ref[oct, p]
+                rc2 = _obj_rays(inst_f, i, rc)
+                c_end = inst_c[i, 1]
+                inf = jnp.float32(i)
+
+                def chunk_body(cw):
+                    c, win = cw
+                    tm = _chunk_t(wv, rc2, c, tlim, eps)
+                    rowmin = jnp.min(tm, axis=1, keepdims=True)
+                    lane = jnp.min(
+                        jnp.where(tm == rowmin, lane_row, _BIG),
+                        axis=1, keepdims=True,
+                    )
+                    gid = c.astype(jnp.float32) * chf + lane
+                    upd = rowmin < m_ref[...]
+                    c_ref[...] = jnp.where(upd, gid, c_ref[...])
+                    i_ref[...] = jnp.where(upd, inf, i_ref[...])
+                    m_ref[...] = jnp.where(upd, rowmin, m_ref[...])
+                    win2 = jnp.max(jnp.minimum(m_ref[...], tlim))
+                    return c + 1, jnp.minimum(win, win2)
+
+                _, win = jax.lax.while_loop(
+                    lambda cw: cw[0] < c_end, chunk_body, (inst_c[i, 0], win)
+                )
+                return win
+
+            return jax.lax.cond(te <= win * 1.00002 + 1e-5, test,
+                                lambda w: w, win)
+
+        _scan_mask(
+            lambda sw: summ_ref[0, g, sw],
+            lambda wi: words_ref[0, g, wi],
+            s, visit, jnp.max(tlim),
+        )
+        t_p = m_ref[...]
+        hit = t_p < _BIG
+        out_ref[0, g, :, 0:1] = t_p
+        out_ref[0, g, :, 1:2] = jnp.where(hit, c_ref[...], -1.0)
+        out_ref[0, g, :, 2:3] = jnp.where(hit, i_ref[...], -1.0)
+        out_ref[0, g, :, 3:4] = jnp.zeros((SBLK, 1), jnp.float32)
+
+    for g in range(gblk):  # static unroll — see _walk_closest_kernel
+        g_body(g)
+
+
+def _iwalk_any_kernel(
+    summ_ref, words_ref, tent_ref, oct_ref, rays_ref, ord_ref, inst_f,
+    inst_c, w_hbm, out_ref, wv, occ_ref, sem_w,
+    *, s, gblk,
+):
+    _load_w(w_hbm, wv, sem_w)
+    eps = jnp.float32(EPSILON)
+
+    def g_body(g):
+        rays8 = rays_ref[0, g]
+        rc = (rays8[:, 0:1], rays8[:, 1:2], rays8[:, 2:3],
+              rays8[:, 3:4], rays8[:, 4:5], rays8[:, 5:6])
+        tlim = rays8[:, 7:8]
+        occ_ref[...] = jnp.zeros((SBLK, 1), jnp.float32)
+        oct = oct_ref[0, g, 0]
+
+        def visit(p, win):
+            te = tent_ref[0, g, p]
+
+            def test(win):
+                i = ord_ref[oct, p]
+                rc2 = _obj_rays(inst_f, i, rc)
+                c_end = inst_c[i, 1]
+
+                def chunk_body(cw):
+                    c, win = cw
+                    det, td, ud, vd = _chunk_terms(wv, rc2, c)
+                    c1 = _same(td - det * eps, det * tlim - td)
+                    c2 = _same(ud, det - ud)
+                    c3 = _same(vd, det - ud - vd)
+                    ok = c1 & c2 & c3 & (det != 0.0)
+                    hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
+                    occ_ref[...] = jnp.maximum(occ_ref[...], hit)
+                    win2 = jnp.max(jnp.where(occ_ref[...] > 0.5, 0.0, tlim))
+                    return c + 1, jnp.minimum(win, win2)
+
+                def chunk_cond(cw):
+                    return (cw[0] < c_end) & (cw[1] > 0.0)
+
+                _, win = jax.lax.while_loop(
+                    chunk_cond, chunk_body, (inst_c[i, 0], win)
+                )
+                return win
+
+            return jax.lax.cond(te <= win * 1.00002 + 1e-5, test,
+                                lambda w: w, win)
+
+        _scan_mask(
+            lambda sw: summ_ref[0, g, sw],
+            lambda wi: words_ref[0, g, wi],
+            s, visit, jnp.max(tlim), early_exit=True,
+        )
+        out_ref[0, g, :, 0:1] = occ_ref[...]
+
+    for g in range(gblk):
+        g_body(g)
+
+
+# ---------------------------------------------------------------------------
+# jitted call wrappers
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _iwalk_closest_call(eng, origin, direction, t_limit, interpret):
+    from path_tracer_tpu.trace.walk import _exit_clamp
+
+    w = eng["w"]
+    t_limit = _exit_clamp(eng, origin, direction, t_limit)
+    rays_c, n = _pack_rays_cols(origin, direction, t_limit)
+    npad = rays_c.shape[0]
+    nbg = npad // SBLK // G_BLK
+    o_p, d_p, tl_p = _pad_all(origin, direction, t_limit, npad, n)
+    summ, words, tent, oct_b = _build_mask(eng, o_p, d_p, tl_p)
+    s = summ.shape[1]
+    kq = tent.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_iwalk_closest_kernel, s=s, gblk=G_BLK),
+        grid=(nbg,),
+        out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 4), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, SBLK, 8), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G_BLK, SBLK, 4), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(w.shape, jnp.float32),
+            pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        summ.reshape(nbg, G_BLK, s),
+        words.reshape(nbg, G_BLK, s * 32),
+        tent.reshape(nbg, G_BLK, kq),
+        oct_b.reshape(nbg, G_BLK, 1),
+        rays_c.reshape(nbg, G_BLK, SBLK, 8),
+        eng["ord_oct"], eng["inst_f"], eng["inst_c"], w,
+    )
+    return out.reshape(npad, 4)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _iwalk_any_call(eng, origin, direction, t_limit, interpret):
+    from path_tracer_tpu.trace.walk import _exit_clamp
+
+    w = eng["w"]
+    t_limit = _exit_clamp(eng, origin, direction, t_limit)
+    rays_c, n = _pack_rays_cols(origin, direction, t_limit)
+    npad = rays_c.shape[0]
+    nbg = npad // SBLK // G_BLK
+    o_p, d_p, tl_p = _pad_all(origin, direction, t_limit, npad, n)
+    summ, words, tent, oct_b = _build_mask(eng, o_p, d_p, tl_p)
+    s = summ.shape[1]
+    kq = tent.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_iwalk_any_kernel, s=s, gblk=G_BLK),
+        grid=(nbg,),
+        out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 1), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, SBLK, 8), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G_BLK, SBLK, 1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(w.shape, jnp.float32),
+            pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        summ.reshape(nbg, G_BLK, s),
+        words.reshape(nbg, G_BLK, s * 32),
+        tent.reshape(nbg, G_BLK, kq),
+        oct_b.reshape(nbg, G_BLK, 1),
+        rays_c.reshape(nbg, G_BLK, SBLK, 8),
+        eng["ord_oct"], eng["inst_f"], eng["inst_c"], w,
+    )
+    return out.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def iwalk_closest_hit_shade(eng: dict, origin, direction, t_limit):
+    """Closest hit through instances: ``(tri_idx, t, u, v, normal_world
+    [N,3], model_id [N] i32, inst [N] i32)`` — tri_idx in the engine's
+    global object-tri order."""
+    if WALK_SORT:
+        order = _coherence_order(eng, origin, direction, t_limit)
+        o_s, d_s, tl_s = origin[order], direction[order], t_limit[order]
+    else:
+        o_s, d_s, tl_s = origin, direction, t_limit
+    out = _iwalk_closest_call(eng, o_s, d_s, tl_s, _interpret_default())
+    if WALK_SORT:
+        out = _unsort_rows(out, order)
+    gl = out[:, 1].astype(jnp.int32)
+    inst = out[:, 2].astype(jnp.int32)
+    hit = gl >= 0
+    glc = jnp.maximum(gl, 0)
+    row = jnp.take(eng["aux"], glc, axis=0)
+    irow = jnp.take(eng["inst_rows"], jnp.maximum(inst, 0), axis=0)
+
+    # object-space ray through the winner instance's inverse transform, in
+    # the kernel's exact expression order (f32 FMA chain parity)
+    ox = irow[:, 0] * origin[:, 0] + irow[:, 1] * origin[:, 1] + irow[:, 2] * origin[:, 2] + irow[:, 9]
+    oy = irow[:, 3] * origin[:, 0] + irow[:, 4] * origin[:, 1] + irow[:, 5] * origin[:, 2] + irow[:, 10]
+    oz = irow[:, 6] * origin[:, 0] + irow[:, 7] * origin[:, 1] + irow[:, 8] * origin[:, 2] + irow[:, 11]
+    dx = irow[:, 0] * direction[:, 0] + irow[:, 1] * direction[:, 1] + irow[:, 2] * direction[:, 2]
+    dy = irow[:, 3] * direction[:, 0] + irow[:, 4] * direction[:, 1] + irow[:, 5] * direction[:, 2]
+    dz = irow[:, 6] * direction[:, 0] + irow[:, 7] * direction[:, 1] + irow[:, 8] * direction[:, 2]
+
+    col = lambda k: row[:, k]
+    det = col(0) * dx + col(1) * dy + col(2) * dz
+    td = col(3) - (col(0) * ox + col(1) * oy + col(2) * oz)
+    px = det * ox + td * dx
+    py = det * oy + td * dy
+    pz = det * oz + td * dz
+    ud = col(4) * px + col(5) * py + col(6) * pz + det * col(7)
+    vd = col(8) * px + col(9) * py + col(10) * pz + det * col(11)
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    t = jnp.where(hit, td * inv_det, t_limit)
+    u = jnp.where(hit, ud * inv_det, 0.0)
+    v = jnp.where(hit, vd * inv_det, 0.0)
+    w_ = 1.0 - u - v
+    n_obj = (
+        w_[:, None] * row[:, 12:15]
+        + u[:, None] * row[:, 15:18]
+        + v[:, None] * row[:, 18:21]
+    )
+    # deferred normal transform: world n = forward R @ object n
+    nx, ny, nz = n_obj[:, 0], n_obj[:, 1], n_obj[:, 2]
+    normal = jnp.stack(
+        [
+            irow[:, 12] * nx + irow[:, 13] * ny + irow[:, 14] * nz,
+            irow[:, 15] * nx + irow[:, 16] * ny + irow[:, 17] * nz,
+            irow[:, 18] * nx + irow[:, 19] * ny + irow[:, 20] * nz,
+        ],
+        axis=-1,
+    )
+    model = jnp.where(hit, row[:, 21].astype(jnp.int32), 0)
+    orig = jnp.where(hit, jnp.take(eng["origmap"], glc), -1)
+    inst = jnp.where(hit, inst, -1)
+    return orig, t, u, v, normal, model, inst
+
+
+def iwalk_any_hit(eng: dict, origin, direction, t_limit):
+    if WALK_SORT_ANY:
+        order = _coherence_order(eng, origin, direction, t_limit)
+        out = _iwalk_any_call(
+            eng, origin[order], direction[order], t_limit[order],
+            _interpret_default(),
+        )
+        return _unsort_rows(out, order) > 0.0
+    out = _iwalk_any_call(eng, origin, direction, t_limit, _interpret_default())
+    return out > 0.0

@@ -68,11 +68,23 @@ CH_W = 128     # chunk capacity (tris per dense leaf test)
 SBLK = 128     # rays per block
 # VMEM-resident weight table: 64 B/tri, ~16 MB VMEM/core minus scratch.
 WALK_MAX_TRIS = 196_608
+# Multi-part streaming (dragon-class soups, main.rs:100-117 scale): the soup
+# is split into spatially tight parts, each a full walk engine whose weight
+# table fits VMEM; the closest-hit threads ONE live t-window through the
+# parts sequentially (later parts are culled by earlier hits) and the
+# any-hit deadens occluded lanes between parts. 16 parts x ~98K tris.
+WALK_PART_TRIS = 98_304
+WALK_PARTS_MAX_TRIS = 16 * WALK_PART_TRIS
 # Restore ray coherence before the kernel (block frustum tightness).
 # PT_WALK_SORT=0 disables (the argsort is expensive on TPU; measured A/B).
 import os as _os
 
 WALK_SORT = _os.environ.get("PT_WALK_SORT", "1") != "0"
+# Shadow (any-hit) batches keep the wave's pixel-major lane order: origins
+# are the sorted closest-hit points and directions converge on the light,
+# so they are block-coherent WITHOUT a fresh sort. PT_WALK_SORT_ANY=1
+# re-enables sorting for them (measured A/B).
+WALK_SORT_ANY = _os.environ.get("PT_WALK_SORT_ANY", "0") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +241,94 @@ def pack_walk(tri: dict, normals_flat, model, positions) -> dict:
     }
 
 
+def _pad_part_tables(e: dict, kmax: int) -> dict:
+    """Pad one part's kernel tables from its own chunk count k to the common
+    ``kmax`` so every part shares one compiled kernel: zero planes never
+    pass the leaf test, +inf point boxes fail every block gate, order pads
+    point at slot 0 (never reached — their gate bits are 0)."""
+    k = e["w"].shape[1] // (2 * CH_W)
+    if k == kmax:
+        return e
+    kq = ((kmax + 1023) // 1024) * 1024
+    w = np.zeros((8, kmax * 2 * CH_W), np.float32)
+    w[:, : k * 2 * CH_W] = e["w"]
+    cb = np.full((8, 6, kq), 2.0e30, np.float32)
+    cb[:, :, : e["cb_oct"].shape[2]] = e["cb_oct"]
+    od = np.zeros((8, kq), np.int32)
+    od[:, : e["ord_oct"].shape[1]] = e["ord_oct"]
+    out = dict(e)
+    out["w"], out["cb_oct"], out["ord_oct"] = w, cb, od
+    return out
+
+
+def pack_walk_parts(tri: dict, normals_flat, model, positions,
+                    part_cap: int = WALK_PART_TRIS) -> dict:
+    """Multi-part walk engine for soups beyond the single-part VMEM cap.
+
+    The soup is split into spatially tight parts (same binned-SAH splitter,
+    capacity ``part_cap``), each packed by :func:`pack_walk`; part kernel
+    tables are padded to a common chunk count so all parts reuse ONE
+    compiled kernel. Shading tables (``aux``/``origmap``) are concatenated
+    globally — the merged winner indexes them with ``slot_off[part]`` +
+    local padded slot. Coherence-sort quantizers and the root box are
+    global (the sort happens once, before the part loop).
+    """
+    pos = np.asarray(positions, np.float32)
+    t = pos.shape[0]
+    if t > WALK_PARTS_MAX_TRIS:
+        raise ValueError(
+            f"walk parts engine caps at {WALK_PARTS_MAX_TRIS} tris, got {t}")
+    bmin = pos.min(axis=1)
+    bmax = pos.max(axis=1)
+    cap = part_cap
+    while True:
+        perm, starts, spans = chunk_partition(bmin, bmax, cap)
+        parts_np, aux_all, orig_all, offs = [], [], [], [0]
+        kmax = 0
+        ok = True
+        for c in range(len(starts)):
+            idx = perm[starts[c] : starts[c] + spans[c]]
+            sub_tri = {k: np.asarray(tri[k])[idx]
+                       for k in ("n0", "n1", "n2", "d0", "d1", "d2")}
+            sub_nrm = (np.asarray(normals_flat)[idx]
+                       if normals_flat is not None else None)
+            sub_model = np.asarray(model)[idx] if model is not None else None
+            e = pack_walk(sub_tri, sub_nrm, sub_model, pos[idx])
+            k = e["w"].shape[1] // (2 * CH_W)
+            if k * CH_W > WALK_MAX_TRIS:
+                ok = False  # underfull chunks blew the VMEM budget: refine
+                break
+            kmax = max(kmax, k)
+            # origmap is local to the part's sub-soup: lift to global order
+            orig_all.append(idx.astype(np.int32)[e["origmap"]])
+            aux_all.append(e["aux"])
+            parts_np.append(e)
+            offs.append(offs[-1] + e["aux"].shape[0])
+        if ok:
+            break
+        cap //= 2
+
+    parts = tuple(
+        {k: v for k, v in _pad_part_tables(e, kmax).items()
+         if k in ("w", "cb_oct", "ord_oct", "root_lo", "root_hi")}
+        for e in parts_np
+    )
+    scene_lo = bmin.min(axis=0)
+    scene_hi = bmax.max(axis=0)
+    extent = np.maximum(scene_hi - scene_lo, 1e-6)
+    pad = 1e-4 * float(np.abs(pos).max(initial=1.0)) + 1e-6
+    return {
+        "parts": parts,
+        "aux": np.concatenate(aux_all),
+        "origmap": np.concatenate(orig_all),
+        "slot_off": np.asarray(offs[:-1], np.float32),
+        "sort_lo": scene_lo.astype(np.float32),
+        "sort_scale": (1.0 / extent).astype(np.float32),
+        "root_lo": (scene_lo - pad).astype(np.float32),
+        "root_hi": (scene_hi + pad).astype(np.float32),
+    }
+
+
 def _exit_clamp(eng, origin, direction, t_limit):
     """Clamp per-ray t_limit to the scene root-box EXIT t (with conservative
     slack); rays that miss the box entirely become dead (t_limit 0). Sound:
@@ -313,19 +413,40 @@ def _build_mask(eng, origin_pad, direction_pad, t_limit_pad):
     ok = (t_lo <= t_hi) & bb["anyv"][:, None]
     tent = jnp.where(ok, t_lo, _BIG)
 
-    pow2 = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    words_u = (
-        (ok.reshape(nb, kq // 32, 32).astype(jnp.uint32) * pow2)
-        .sum(axis=2, dtype=jnp.uint32)
-    )
+    words_u = _pack_bits_mxu(ok)
     s = kq // 1024
-    summ_u = (
-        ((words_u != 0).reshape(nb, s, 32).astype(jnp.uint32) * pow2)
-        .sum(axis=2, dtype=jnp.uint32)
-    )
+    summ_u = _pack_bits_mxu(words_u != 0)
     words = jax.lax.bitcast_convert_type(words_u, jnp.int32)
     summ = jax.lax.bitcast_convert_type(summ_u, jnp.int32)
     return summ, words, tent, oct_b
+
+
+@functools.lru_cache(maxsize=8)
+def _pack_mats(k: int):
+    """[k*32, k] pair of bit-weight matrices: lo packs bits 0-15 of each
+    32-bit word, hi bits 16-31. Sums stay < 2^16 so both the bf16 operand
+    encodings (0/1 and powers of two) and the f32 MXU accumulation are
+    EXACT — bit packing as two tiny matmuls instead of a 32-minor-axis
+    reduction."""
+    i = np.arange(k * 32)
+    lo = np.zeros((k * 32, k), np.float32)
+    hi = np.zeros((k * 32, k), np.float32)
+    b = i % 32
+    sel = b < 16
+    lo[i[sel], i[sel] // 32] = (2.0 ** b[sel]).astype(np.float32)
+    hi[i[~sel], i[~sel] // 32] = (2.0 ** (b[~sel] - 16)).astype(np.float32)
+    # NumPy, not jnp: device conversion inside a trace would cache tracers
+    return lo, hi
+
+
+def _pack_bits_mxu(ok):
+    """[nb, k*32] bool -> [nb, k] u32 bitmask via two exact matmuls."""
+    k = ok.shape[1] // 32
+    lo_m, hi_m = _pack_mats(k)
+    f = ok.astype(jnp.float32)
+    lo = f @ lo_m
+    hi = f @ hi_m
+    return lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)
 
 
 def _block_octant(direction_pad):
@@ -785,18 +906,56 @@ def _coherence_order(eng, origin, direction, t_limit):
 # public API (traversal.closest_hit / any_hit contracts)
 # ---------------------------------------------------------------------------
 
+def _unsort_rows(x, order):
+    """Undo a permutation ``order`` on the leading axis of ``x`` (which holds
+    rows in sorted order) with ONE scatter — replaces the second argsort
+    (inverse-permutation) + gather; indices are a permutation, hence unique."""
+    return jnp.zeros_like(x).at[order].set(
+        x, unique_indices=True, mode="drop"
+    )
+
+
+def _closest_parts(eng: dict, o_s, d_s, tl_s, interp):
+    """Run the closest-hit kernel over every part, threading the live
+    t-window: part i+1's t_limit is clamped to the best t so far, so hits
+    found early cull later parts' chunk gates AND their in-kernel windows.
+    Single-part engines skip the merge entirely. Returns [n, 2]
+    (best_t | global slot, -1 none)."""
+    parts = eng.get("parts")
+    if parts is None:
+        out, _ = _walk_closest_call(eng, o_s, d_s, tl_s, interp)
+        return out
+    best = None
+    for pi, part in enumerate(parts):
+        off = eng["slot_off"][pi]
+        tl_i = tl_s if best is None else jnp.minimum(tl_s, best[:, 0])
+        out, _ = _walk_closest_call(part, o_s, d_s, tl_i, interp)
+        hit_i = out[:, 0] < _BIG
+        slot_i = jnp.where(hit_i, out[:, 1] + off, -1.0)
+        if best is None:
+            best = jnp.stack([out[:, 0], slot_i], axis=1)
+        else:
+            # strict <: at bit-equal t the earlier part keeps the winner
+            # (deterministic; ties across parts are measure-zero)
+            upd = out[:, 0] < best[:, 0]
+            best = jnp.stack(
+                [jnp.where(upd, out[:, 0], best[:, 0]),
+                 jnp.where(upd, slot_i, best[:, 1])], axis=1,
+            )
+    return best
+
+
 def walk_closest_hit_shade(eng: dict, origin, direction, t_limit):
     """Closest hit + shading attributes: ``(tri_idx, t, u, v, normal_raw
     [N,3], model_id [N] i32)`` — tri_idx in ORIGINAL soup order."""
     if WALK_SORT:
         order = _coherence_order(eng, origin, direction, t_limit)
-        inv = jnp.argsort(order)
         o_s, d_s, tl_s = origin[order], direction[order], t_limit[order]
     else:
         o_s, d_s, tl_s = origin, direction, t_limit
-    out, _ = _walk_closest_call(eng, o_s, d_s, tl_s, _interpret_default())
+    out = _closest_parts(eng, o_s, d_s, tl_s, _interpret_default())
     if WALK_SORT:
-        out = out[inv]
+        out = _unsort_rows(out, order)
     gl = out[:, 1].astype(jnp.int32)  # padded global slot
     hit = gl >= 0
     glc = jnp.maximum(gl, 0)
@@ -851,14 +1010,25 @@ def walk_stats(eng: dict, origin, direction, t_limit, winup=True):
             "skipped": int(cnt[2])}
 
 
+def _any_parts(eng: dict, o, d, tl, interp):
+    """Any-hit over every part; lanes occluded by an earlier part are
+    deadened (t_limit 0) for later parts — their blocks gate nothing in."""
+    parts = eng.get("parts")
+    if parts is None:
+        return _walk_any_call(eng, o, d, tl, interp) > 0.0
+    occ = jnp.zeros(o.shape[0], bool)
+    for part in parts:
+        tl_i = jnp.where(occ, 0.0, tl)
+        occ = occ | (_walk_any_call(part, o, d, tl_i, interp) > 0.0)
+    return occ
+
+
 def walk_any_hit(eng: dict, origin, direction, t_limit):
-    if WALK_SORT:
+    if WALK_SORT_ANY:
         order = _coherence_order(eng, origin, direction, t_limit)
-        inv = jnp.argsort(order)
-        out = _walk_any_call(
+        out = _any_parts(
             eng, origin[order], direction[order], t_limit[order],
             _interpret_default(),
         )
-        return out[inv] > 0.0
-    out = _walk_any_call(eng, origin, direction, t_limit, _interpret_default())
-    return out > 0.0
+        return _unsort_rows(out, order)
+    return _any_parts(eng, origin, direction, t_limit, _interpret_default())

@@ -1,0 +1,144 @@
+"""Instanced walk engine (trace/iwalk.py) vs the baked brute-force oracle,
+under the Pallas interpreter (CPU). The oracle bakes every instance to world
+space and brute-forces the soup — instance gating, in-kernel object-space
+transforms, winner mapping, deferred normal rotation and any-hit early exit
+must all agree with it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from path_tracer_tpu.scene import procedural, triangle
+from path_tracer_tpu.scene.model import Model, rigid_transform, rotation_y
+from path_tracer_tpu.trace import iwalk
+from path_tracer_tpu.trace.traversal import brute_force_closest, pack_tris
+
+
+def _models():
+    sp, sn = procedural.bumpy_sphere(nu=40, nv=40)       # ~3.2K tris
+    bp, bn = procedural.box((0.0, 0.0, 0.0), (0.6, 0.6, 0.6))
+    mats_a = [
+        rigid_transform(rotation_y(0.5), (-2.0, 0.0, 0.0)),
+        rigid_transform(rotation_y(1.7), (2.0, 0.3, 0.5)),
+        rigid_transform(rotation_y(2.9), (0.0, -0.4, -2.0)),
+    ]
+    mats_b = [
+        rigid_transform(rotation_y(0.9), (0.0, 1.8, 0.0)),
+        rigid_transform(rotation_y(2.1), (0.0, 0.0, 2.2)),
+    ]
+    return [
+        Model(None, matrices=mats_a, positions=sp, normals=sn),
+        Model(None, matrices=mats_b, positions=bp, normals=bn),
+    ]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    models = _models()
+    eng_np = iwalk.pack_iwalk(models)
+    assert eng_np["inst_f"].shape[0] == 5
+
+    def up(x):
+        return {k: jnp.asarray(v) for k, v in x.items()}
+
+    eng = up(eng_np)
+
+    # baked world-space oracle soup
+    pos_w, nrm_w, model_id = [], [], []
+    for mid, m in enumerate(models):
+        for mat in m.matrices:
+            p, n = triangle.transform(m.positions, m.normals, np.asarray(mat, np.float32))
+            pos_w.append(p)
+            nrm_w.append(n)
+            model_id.append(np.full(p.shape[0], mid, np.int64))
+    pos_w = np.concatenate(pos_w)
+    nrm_w = np.concatenate(nrm_w)
+    model_id = np.concatenate(model_id)
+    tri_w = triangle.precompute(pos_w)
+    return eng, tri_w, pos_w, nrm_w, model_id, models
+
+
+def _rays(n, seed=1):
+    rng = np.random.default_rng(seed)
+    o = rng.standard_normal((n, 3))
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 6.0
+    d = -o + rng.standard_normal((n, 3)) * 0.6
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o.astype(np.float32)), jnp.asarray(d.astype(np.float32))
+
+
+def test_iwalk_closest_matches_baked_brute_force(setup):
+    eng, tri_w, pos_w, nrm_w, model_id, models = setup
+    n = 512
+    o, d = _rays(n)
+    tl = jnp.full((n,), 1e30, jnp.float32)
+    bi, bt, bu, bv, nn, mm, inst = iwalk.iwalk_closest_hit_shade(eng, o, d, tl)
+    ri, rt, ru, rv = brute_force_closest(
+        {"packed": jnp.asarray(pack_tris(tri_w))}, o, d, tl
+    )
+    bi, ri = np.asarray(bi), np.asarray(ri)
+    assert ((bi >= 0) == (ri >= 0)).all()
+    both = (bi >= 0) & (ri >= 0)
+    assert both.sum() > n // 3
+    # t agrees to f32 rigid-transform noise; hit model ids agree exactly
+    np.testing.assert_allclose(
+        np.asarray(bt)[both], np.asarray(rt)[both], rtol=2e-4, atol=1e-5
+    )
+    assert (np.asarray(mm)[both] == model_id[ri[both]]).all()
+    assert (np.asarray(inst)[both] >= 0).all()
+    assert (np.asarray(inst)[~both] == -1).all()
+    # world normals: compare against the baked soup's interpolated normal
+    # at the ORACLE's (u, v); direction-insensitive up to normalization
+    u_r, v_r = np.asarray(ru)[both], np.asarray(rv)[both]
+    w_r = 1.0 - u_r - v_r
+    nref = (
+        w_r[:, None] * nrm_w[ri[both], 0]
+        + u_r[:, None] * nrm_w[ri[both], 1]
+        + v_r[:, None] * nrm_w[ri[both], 2]
+    )
+    nref /= np.maximum(np.linalg.norm(nref, axis=1, keepdims=True), 1e-20)
+    ngot = np.asarray(nn)[both]
+    ngot /= np.maximum(np.linalg.norm(ngot, axis=1, keepdims=True), 1e-20)
+    cos = (nref * ngot).sum(axis=1)
+    assert (cos > 0.999).all()
+
+
+def test_iwalk_any_hit_window_semantics(setup):
+    eng, tri_w, *_ = setup
+    n = 384
+    o, d = _rays(n, seed=2)
+    tl = jnp.full((n,), 1e30, jnp.float32)
+    ri, rt, _, _ = brute_force_closest(
+        {"packed": jnp.asarray(pack_tris(tri_w))}, o, d, tl
+    )
+    ri, rt = np.asarray(ri), np.asarray(rt)
+    hit = ri >= 0
+    near = jnp.asarray(np.where(hit, rt * 0.99, 1e-3).astype(np.float32))
+    far = jnp.asarray(np.where(hit, rt * 1.01, 1e-3).astype(np.float32))
+    a_near = np.asarray(iwalk.iwalk_any_hit(eng, o, d, near))
+    a_far = np.asarray(iwalk.iwalk_any_hit(eng, o, d, far))
+    assert not a_near[hit].any()
+    assert a_far[hit].all()
+    assert not a_far[~hit].any()
+
+
+def test_iwalk_dead_and_nan_lanes(setup):
+    eng, *_ = setup
+    n = 256
+    o, d = _rays(n, seed=3)
+    tl_full = jnp.full((n,), 1e30, jnp.float32)
+    ref_i, ref_t, _, _, _, _, _ = iwalk.iwalk_closest_hit_shade(eng, o, d, tl_full)
+    o_np, tl_np = np.asarray(o).copy(), np.full(n, 1e30, np.float32)
+    tl_np[np.arange(n) % 3 == 0] = 0.0
+    o_np[np.arange(n) % 7 == 0] = np.nan
+    tl_np[np.arange(n) % 7 == 0] = 0.0
+    live = tl_np > 0.0
+    bi, _, _, _, _, _, _ = iwalk.iwalk_closest_hit_shade(
+        eng, jnp.asarray(o_np), d, jnp.asarray(tl_np)
+    )
+    assert (np.asarray(bi)[live] == np.asarray(ref_i)[live]).all()
+    a = iwalk.iwalk_any_hit(eng, jnp.asarray(o_np), d, jnp.asarray(tl_np))
+    assert not np.asarray(a)[~live].any()

@@ -98,3 +98,34 @@ def test_twolevel_scene_sharded():
         scene, ndc, org, 0, W, H, max_bounces=4, enable_nee=True, has_lights=True
     )
     np.testing.assert_allclose(np.asarray(rad_sh), np.asarray(rad_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_twolevel_iwalk_sharded():
+    """Config-5 regime: the FAST two-level engine (instanced walk) under
+    shard_map tiling — sharded must match single-device with the SAME
+    engine (sharding is pure work division; the kernel runs under the
+    Pallas interpreter on the CPU mesh)."""
+    from path_tracer_tpu.scene.scene import Scene
+    from path_tracer_tpu.trace import iwalk
+
+    scene_host, cam = scenes.many_instance_scene(grid=3, subdivisions=1)
+    two = Scene(scene_host.models, two_level=True)
+    scene = two.device()
+    scene["twolevel"]["iwalk"] = {
+        k: jnp.asarray(v) for k, v in iwalk.pack_iwalk(two.models).items()
+    }
+    ndc = jnp.asarray(cam.view_proj_inverse())
+    org = jnp.asarray(cam.origin)
+
+    mesh = make_mesh(4)
+    rad_sh, _ = render_sample_sharded(
+        scene, ndc, org, 0, W, H, mesh, max_bounces=4,
+        mtypes=two.active_mtypes, any_volumes=two.has_volumes,
+    )
+    rad_ref, _, _, _ = render_sample(
+        scene, ndc, org, 0, W, H, max_bounces=4, enable_nee=True,
+        has_lights=True, mtypes=two.active_mtypes, any_volumes=two.has_volumes,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rad_sh), np.asarray(rad_ref), rtol=1e-5, atol=1e-6
+    )

@@ -154,6 +154,32 @@ def test_volume_scene_finite():
     assert rad.mean() > 0.0
 
 
+def test_dragon_scene_finite():
+    """The reference's showcase configuration (main.rs:100-117) at toy
+    scale: 2-instance displaced-knot mesh, GGX glass + medium, procedural
+    equirect env. Full-scale throughput is covered by benches/bench_all.py
+    on hardware."""
+    scene_host, cam = scenes.dragon_scene(nu=48, nv=24, env_h=32)
+    assert scene_host.has_volumes and scene_host.has_lights
+    scene = scene_host.device()
+    rad, _, _, _ = render_sample(
+        scene,
+        jnp.asarray(cam.view_proj_inverse()),
+        jnp.asarray(cam.origin),
+        0,
+        16,
+        16,
+        max_bounces=12,
+        enable_nee=True,
+        has_lights=True,
+        mtypes=scene_host.active_mtypes,
+        any_volumes=True,
+    )
+    rad = np.asarray(rad)
+    assert np.isfinite(rad).all() and (rad >= 0).all()
+    assert rad.mean() > 0.0
+
+
 def test_pooled_matches_pinned(cornell):
     """Global-work-queue regeneration (pool=True) computes the same
     per-(pixel, sample) radiances; film sums match the pinned schedule up to

@@ -151,6 +151,69 @@ def test_single_part_small_soup():
     assert (bi[both] == ri[both]).all()
 
 
+@pytest.fixture(scope="module")
+def parts_soup():
+    # force the multi-part path on a modest soup: ~9K tris, 1K-tri parts
+    pos, nrm = procedural.bumpy_sphere(nu=68, nv=68)
+    tri = triangle.precompute(pos)
+    model = (np.arange(pos.shape[0]) % 5).astype(np.int64)
+    eng_np = walk.pack_walk_parts(
+        tri, nrm.reshape(-1, 9), model, pos, part_cap=1024
+    )
+    assert len(eng_np["parts"]) >= 4
+    # all parts padded to ONE kernel shape
+    shapes = {p["w"].shape for p in eng_np["parts"]}
+    assert len(shapes) == 1
+
+    def up(x):
+        if isinstance(x, dict):
+            return {k: up(v) for k, v in x.items()}
+        if isinstance(x, tuple):
+            return tuple(up(v) for v in x)
+        return jnp.asarray(x)
+
+    return up(eng_np), tri, model, nrm
+
+
+def test_parts_closest_matches_brute_force(parts_soup):
+    eng, tri, model, nrm = parts_soup
+    n = 512
+    o, d = _rays(n, seed=11)
+    tl = jnp.full((n,), 1e30, jnp.float32)
+    bi, bt, bu, bv, nn, mm = walk.walk_closest_hit_shade(eng, o, d, tl)
+    ri, rt, ru, rv = brute_force_closest(
+        {"packed": jnp.asarray(pack_tris(tri))}, o, d, tl
+    )
+    bi, ri = np.asarray(bi), np.asarray(ri)
+    assert ((bi >= 0) == (ri >= 0)).all()
+    both = (bi >= 0) & (ri >= 0)
+    assert both.sum() > n // 3
+    assert (bi[both] == ri[both]).all()
+    np.testing.assert_allclose(
+        np.asarray(bt)[both], np.asarray(rt)[both], rtol=1e-5, atol=1e-6
+    )
+    assert (np.asarray(mm)[both] == model[bi[both]]).all()
+
+
+def test_parts_any_hit_window_semantics(parts_soup):
+    eng, tri, _, _ = parts_soup
+    n = 384
+    o, d = _rays(n, seed=12)
+    tl = jnp.full((n,), 1e30, jnp.float32)
+    ri, rt, _, _ = brute_force_closest(
+        {"packed": jnp.asarray(pack_tris(tri))}, o, d, tl
+    )
+    ri, rt = np.asarray(ri), np.asarray(rt)
+    hit = ri >= 0
+    near = jnp.asarray(np.where(hit, rt * 0.99, 1e-3).astype(np.float32))
+    far = jnp.asarray(np.where(hit, rt * 1.01, 1e-3).astype(np.float32))
+    a_near = np.asarray(walk.walk_any_hit(eng, o, d, near))
+    a_far = np.asarray(walk.walk_any_hit(eng, o, d, far))
+    assert not a_near[hit].any()
+    assert a_far[hit].all()
+    assert not a_far[~hit].any()
+
+
 def test_sort_disabled_matches(soup):
     """The coherence sort is a pure reordering — results must be identical
     with it disabled."""

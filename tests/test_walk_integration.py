@@ -53,3 +53,29 @@ def test_walk_engine_through_integrator():
     frac_same = float((diff < 1e-5).mean())
     assert frac_same > 0.98, frac_same
     assert abs(img_walk.mean() - img_ref.mean()) < 0.01 * max(img_ref.mean(), 1e-6)
+
+
+def test_iwalk_engine_through_integrator():
+    """Two-level mode: the instanced-walk engine vs the gather-based
+    TLAS/BLAS phase machine on the many-instance scene. Different traversal
+    implementations of the same geometry — same seeds, same estimator;
+    only FMA-rounding path flips may differ."""
+    from path_tracer_tpu.scene.scene import Scene
+    from path_tracer_tpu.trace import iwalk
+
+    scene_host, cam = scenes.many_instance_scene(grid=3, subdivisions=1)
+    two = Scene(scene_host.models, two_level=True)
+    scene_ref = two.device()
+    assert "iwalk" not in scene_ref["twolevel"]  # CPU backend default
+    img_ref = _render(scene_ref, two, cam, 48, 48, 4)
+
+    scene_fast = two.device()
+    scene_fast["twolevel"]["iwalk"] = {
+        k: jnp.asarray(v) for k, v in iwalk.pack_iwalk(two.models).items()
+    }
+    img_fast = _render(scene_fast, two, cam, 48, 48, 4)
+
+    diff = np.abs(img_fast - img_ref).max(axis=-1)
+    frac_same = float((diff < 1e-4).mean())
+    assert frac_same > 0.97, frac_same
+    assert abs(img_fast.mean() - img_ref.mean()) < 0.01 * max(img_ref.mean(), 1e-6)
