@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--max-bounces", type=int, default=64)
+    ap.add_argument("--extended", action="store_true",
+                    help="also bench dragon_scene (885K tris, multi-part "
+                         "walk) and env_sphere_scene at a 4K-class env map")
     args = ap.parse_args()
 
     import numpy as np
@@ -28,11 +31,22 @@ def main():
     from path_tracer_tpu import scenes
     from path_tracer_tpu.integrator.wavefront import render_film
 
-    for name in [
+    names = [
         "cornell_diffuse", "cornell_specular", "cornell_volume",
         "mesh_scene", "many_instance_scene",
-    ]:
-        scene_host, cam = getattr(scenes, name)()
+    ]
+    if args.extended:
+        # the reference's showcase scale (main.rs:100-117) + its 4K env
+        # (main.rs:75): dragon-class soup through the multi-part walk
+        # engine and the equirect miss shader at full table size
+        names += ["dragon_scene", "env_sphere_4k"]
+
+    def env_sphere_4k(aspect=1.0):
+        return scenes.env_sphere_scene(env_size=2048, aspect=aspect)
+
+    for name in names:
+        builder = env_sphere_4k if name == "env_sphere_4k" else getattr(scenes, name)
+        scene_host, cam = builder()
         scene = scene_host.device()
         ndc = jnp.asarray(cam.view_proj_inverse())
         org = jnp.asarray(cam.origin)
@@ -71,7 +85,8 @@ def main():
         elif "stream" in scene["bvh"]:
             engine = "sweep-loop"
         elif "walk" in scene["tri"]:
-            engine = "walk"
+            engine = ("walk-parts" if "parts" in scene["tri"]["walk"]
+                      else "walk")
         elif "dense_stream" in scene["tri"]:
             engine = "dense-stream"
         elif "dense_pl" in scene["tri"]:
