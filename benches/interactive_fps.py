@@ -39,9 +39,11 @@ def run(mode: str, scene_name: str, w: int, h: int, frames: int,
 
     def step(i: int) -> np.ndarray:
         if mode == "moving":
-            # gentle orbit + strafe: exercises velocity + reprojection
-            r.mouse(3.0 if i % 2 == 0 else -2.0, 1.0, 1.0 / 60.0)
-            r.key("w" if i % 4 < 2 else "d", 1.0 / 60.0)
+            # gentle orbit + strafe (~2 deg + a few world units per frame;
+            # camera.update_* sensitivities are the reference's huge
+            # constants, so deltas must be mouse-pixel scale)
+            r.mouse(2e-4 if i % 2 == 0 else -1.5e-4, 1e-4, 1.0 / 60.0)
+            r.key("w" if i % 4 < 2 else "d", 6e-6)
         r.frame()
         return r.display()  # host sync: the "present"
 
