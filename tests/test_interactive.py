@@ -109,3 +109,46 @@ def test_display_letterboxed():
     assert out[10].max() == 1.0
     # no horizontal bars for width-limited fit
     assert out[:, 0].max() == 1.0 or out[:, 1].max() == 1.0
+
+
+def test_http_live_view_stream_and_input():
+    """The HTTP display vehicle end-to-end: serve an interactive session,
+    pull MJPEG frames, inject key/mouse input, fetch a PNG still."""
+    import io
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from path_tracer_tpu.interactive.stream import make_server
+
+    scene_host, cam = scenes.cornell_diffuse()
+    r = InteractiveRenderer(scene_host, cam, 32, 32, max_bounces=4)
+    srv = make_server(r, "127.0.0.1", 0, max_frames=2)  # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        page = urllib.request.urlopen(f"{base}/", timeout=30).read()
+        assert b"/stream" in page
+        # input events mutate the camera
+        yaw0 = r.camera.yaw
+        urllib.request.urlopen(f"{base}/mouse?dx=0&dy=2e-4&dt=0.0167", timeout=30).read()
+        assert r.camera.yaw != yaw0
+        urllib.request.urlopen(f"{base}/key?k=w&dt=1e-6", timeout=30).read()
+        # the MJPEG stream produces parseable JPEG frames
+        raw = urllib.request.urlopen(f"{base}/stream", timeout=300).read()
+        parts = raw.split(b"--frame")
+        jpgs = [p.split(b"\r\n\r\n", 1)[1].rstrip(b"\r\n")
+                for p in parts if b"image/jpeg" in p]
+        assert len(jpgs) == 2
+        img = np.asarray(Image.open(io.BytesIO(jpgs[-1])))
+        assert img.shape == (32, 32, 3)
+        assert r.sample >= 2  # the stream drove the render loop
+        # PNG still endpoint
+        png = urllib.request.urlopen(f"{base}/frame.png", timeout=60).read()
+        still = np.asarray(Image.open(io.BytesIO(png)))
+        assert still.shape == (32, 32, 3)
+    finally:
+        srv.shutdown()
