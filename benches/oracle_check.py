@@ -32,7 +32,8 @@ def f64_oracle(pos64, o, d, eps=5e-4):
     n = len(o)
     best_t = np.full(n, np.inf)
     best_i = np.full(n, -1)
-    B = 64
+    # [B, T, 3] f64 temporaries: keep under ~400 MB at dragon scale
+    B = max(4, min(64, int(2.0e6 / max(len(pos64) // 1000, 1))))
     for s in range(0, n, B):
         ob, db = o[s : s + B], d[s : s + B]
         p = np.cross(db[:, None, :], e2[None, :, :])
@@ -52,6 +53,62 @@ def f64_oracle(pos64, o, d, eps=5e-4):
     return best_i, best_t
 
 
+def _check_iwalk() -> bool:
+    """Two-level engine vs the oracle over the BAKED f64 soup. Winner
+    indices live in different orders (engine object-tri vs baked soup), so
+    agreement is judged on hit mask, t, and the hit MODEL id."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.scene import triangle as tri_mod
+    from path_tracer_tpu.scene.scene import Scene
+    from path_tracer_tpu.trace import iwalk
+
+    baked, cam = scenes.many_instance_scene(grid=6, subdivisions=2)
+    two = Scene(baked.models, two_level=True)
+    eng = {k: jnp.asarray(v) if not isinstance(v, tuple) else v
+           for k, v in iwalk.pack_iwalk(two.models).items()}
+
+    pos_w, model_id = [], []
+    for mid, m in enumerate(two.models):
+        for mat in m.matrices:
+            p, _ = tri_mod.transform(m.positions, m.normals, np.asarray(mat, np.float32))
+            pos_w.append(p)
+            model_id.append(np.full(p.shape[0], mid, np.int64))
+    pos64 = np.concatenate(pos_w).astype(np.float64)
+    model_id = np.concatenate(model_id)
+    T = pos64.shape[0]
+    rng = np.random.default_rng(7)
+    n = 512
+    org = np.asarray(cam.origin, np.float64)
+    tgt = pos64[rng.integers(0, T, n)].mean(axis=1)
+    d = tgt - org
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = np.broadcast_to(org, d.shape)
+    oi, ot = f64_oracle(pos64, o, d)
+
+    lim = jnp.full(n, 3e38, jnp.float32)
+    gi, gt, _, _, _, mm, _ = iwalk.iwalk_closest_hit_shade(
+        eng, jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32), lim
+    )
+    gi, gt, mm = np.asarray(gi), np.asarray(gt), np.asarray(mm)
+    hit_match = float(((gi >= 0) == (oi >= 0)).mean())
+    both = (oi >= 0) & (gi >= 0)
+    terr = np.abs(gt[both] - ot[both]) / np.maximum(ot[both], 1.0)
+    med = float(np.median(terr)) if both.any() else 0.0
+    mmatch = float((mm[both] == model_id[oi[both]]).mean()) if both.any() else 1.0
+    ok = hit_match >= 0.995 and med < 1e-4 and mmatch >= 0.995
+    print(
+        f"many_instance[iwalk] {T} baked tris, "
+        f"{eng['inst_f'].shape[0]} instances: hit match {hit_match*100:.2f}%, "
+        f"t relerr med {med:.2e}, model match {mmatch*100:.2f}% -> "
+        f"{'OK' if ok else 'FAIL'}",
+        flush=True,
+    )
+    return ok
+
+
 def main():
     import numpy as np
     import jax.numpy as jnp
@@ -59,8 +116,18 @@ def main():
     from path_tracer_tpu import scenes
 
     failures = 0
-    for scene_name, sub in [("mesh_scene", 4), ("mesh_scene", 6)]:
-        sh, cam = scenes.mesh_scene(subdivisions=sub)
+    cases = [
+        ("mesh_scene", lambda: scenes.mesh_scene(subdivisions=4)),
+        ("mesh_scene6", lambda: scenes.mesh_scene(subdivisions=6)),
+        # dragon scale: multi-part walk (env small — geometry is the test)
+        ("dragon", lambda: scenes.dragon_scene(env_h=64)),
+        ("iwalk", None),  # handled separately below (two-level engine)
+    ]
+    for scene_name, build in cases:
+        if scene_name == "iwalk":
+            failures += 0 if _check_iwalk() else 1
+            continue
+        sh, cam = build()
         scene = sh.device()
         pos64 = sh.tri["positions"].astype(np.float64)
         T = pos64.shape[0]
@@ -80,7 +147,7 @@ def main():
             from path_tracer_tpu.trace.walk import walk_closest_hit
 
             gi, gt, _, _ = walk_closest_hit(tri["walk"], oj, dj, lim)
-            engine = "walk"
+            engine = "walk-parts" if "parts" in tri["walk"] else "walk"
         elif "dense_stream" in tri:
             from path_tracer_tpu.trace.dense_stream import (
                 dense_stream_closest_hit_shade,
