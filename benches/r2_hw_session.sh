@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-2 hardware measurement session, in dependency order.
+# Run on the real TPU: bash benches/r2_hw_session.sh [outdir]
+set -u
+OUT="${1:-/tmp/r2hw}"
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() { # name, cmd...
+  local name="$1"; shift
+  echo "=== $name ==="
+  timeout 3000 "$@" 2>&1 | tee "$OUT/$name.log"
+  echo "rc=$? ($name)"
+}
+
+# 1. correctness gate — REQUIRED before any perf claim
+run oracle python benches/oracle_check.py
+
+# 2. headline (driver metric)
+run headline python bench.py
+
+# 3. all configs incl. dragon + 4K env
+run bench_all python benches/bench_all.py --size 512 --spp 16 --extended
+
+# 4. config 5 as specified (slice: 64 spp for the rate; full 1024 spp only
+#    if time allows — rate is spp-invariant past a few waves)
+run twolevel python benches/bench_twolevel.py --spp 64
+
+# 5. interactive loop
+run fps python benches/interactive_fps.py --frames 48
+
+# 6. quality harness (the slow one — run last)
+run quality python benches/quality.py --spp 256 --size 128

@@ -995,7 +995,23 @@ def walk_closest_hit(eng: dict, origin, direction, t_limit):
 
 def walk_stats(eng: dict, origin, direction, t_limit, winup=True):
     """Observability: run the closest-hit kernel with counters and return
-    them — tested chunks and window-skipped entries (listed = sum)."""
+    them — tested chunks and window-skipped entries (listed = sum). For a
+    multi-part engine, counters accumulate over the part loop."""
+    if "parts" in eng:
+        tot = {"listed": 0, "visits": 0, "skipped": 0}
+        best_t = None
+        for part in eng["parts"]:
+            tl = t_limit if best_t is None else jnp.minimum(t_limit, best_t)
+            out, cnt = _walk_closest_call(
+                part, origin, direction, tl,
+                _interpret_default(), winup=winup, counters=True,
+            )
+            best_t = out[:, 0] if best_t is None else jnp.minimum(best_t, out[:, 0])
+            cnt = np.asarray(cnt)
+            tot["visits"] += int(cnt[1])
+            tot["skipped"] += int(cnt[2])
+        tot["listed"] = tot["visits"] + tot["skipped"]
+        return tot
     if WALK_SORT:
         order = _coherence_order(eng, origin, direction, t_limit)
         origin, direction, t_limit = (
