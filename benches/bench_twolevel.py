@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--grid", type=int, default=6)
     ap.add_argument("--subdiv", type=int, default=2)
     ap.add_argument("--max-bounces", type=int, default=64)
+    ap.add_argument("--scene", default="many_instance",
+                    choices=["many_instance", "dragon"],
+                    help="dragon = the showcase scene in TRUE two-level "
+                         "form (shared ~442K-tri BLAS, multi-part iwalk)")
     args = ap.parse_args()
 
     import numpy as np
@@ -38,11 +42,14 @@ def main():
     from path_tracer_tpu.integrator.wavefront import render_film
     from path_tracer_tpu.scene.scene import Scene
 
-    baked, cam = scenes.many_instance_scene(
-        grid=args.grid, subdivisions=args.subdiv,
-        aspect=args.width / args.height,
-    )
-    scene_host = Scene(baked.models, two_level=True)
+    if args.scene == "dragon":
+        baked, cam = scenes.dragon_scene(aspect=args.width / args.height)
+    else:
+        baked, cam = scenes.many_instance_scene(
+            grid=args.grid, subdivisions=args.subdiv,
+            aspect=args.width / args.height,
+        )
+    scene_host = Scene(baked.models, env=baked.env, two_level=True)
     scene = scene_host.device()
     engine = "iwalk" if "iwalk" in scene.get("twolevel", {}) else "gather"
     ndc = jnp.asarray(cam.view_proj_inverse())
@@ -64,12 +71,15 @@ def main():
     rad = np.asarray(rad)
     assert np.isfinite(rad).all()
     total, strict = float(rays[0]), float(rays[1])
+    iw = scene.get("twolevel", {}).get("iwalk", {})
+    if engine == "iwalk" and "parts" in iw:
+        engine = "iwalk-parts"
     print(json.dumps({
-        "config": "many_instance_twolevel",
+        "config": f"{args.scene}_twolevel",
         "engine": engine,
         "size": f"{args.width}x{args.height}",
         "spp": args.spp,
-        "instances": args.grid * args.grid + 4,
+        "instances": scene_host.twolevel.num_instances,
         "mrays_per_s": round(total / dt / 1e6, 2),
         "mrays_per_s_strict": round(strict / dt / 1e6, 2),
         "spp_per_s": round(args.spp / dt, 3),

@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, help="checkpoint .npz path (resume if exists)")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--multichip", action="store_true", help="tile film across all devices")
+    p.add_argument("--two-level", action="store_true",
+                   help="keep shared BLASes + instance transforms (TLAS/BLAS "
+                        "traversal) instead of baking instances to world")
     p.add_argument("--profile-dir", default=None, help="jax.profiler trace output dir")
     p.add_argument("--retries", type=int, default=2,
                    help="device-error retries per batch (checkpoint + backoff); "
@@ -57,6 +60,11 @@ def main(argv=None):
                          aspect_ratio=aspect)
         else:
             scene_host, cam = getattr(scenes, args.scene)(aspect=aspect)
+        if args.two_level and not scene_host.two_level:
+            from path_tracer_tpu.scene.scene import Scene
+
+            scene_host = Scene(scene_host.models, env=scene_host.env,
+                               two_level=True)
 
     with timers.phase("upload"):
         scene = scene_host.device()

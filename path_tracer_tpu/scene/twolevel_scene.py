@@ -119,7 +119,15 @@ class TwoLevelGeometry:
         if (jax.default_backend() == "tpu"
                 and os.environ.get("PT_IWALK", "1") != "0"
                 and self.num_object_tris <= IWALK_MAX_OBJECT_TRIS):
-            out["iwalk"] = {
-                k: jnp.asarray(v) for k, v in pack_iwalk(self.models).items()
-            }
+            def up(x):
+                if isinstance(x, dict):
+                    return {k: up(v) for k, v in x.items()}
+                if isinstance(x, tuple):
+                    return tuple(up(v) for v in x)
+                return jnp.asarray(x)
+
+            try:
+                out["iwalk"] = up(pack_iwalk(self.models))
+            except ValueError:
+                pass  # over the chunk cap: gather machine serves
         return out

@@ -63,7 +63,10 @@ from path_tracer_tpu.trace.walk import (
     _unsort_rows,
 )
 
-IWALK_MAX_OBJECT_TRIS = WALK_MAX_TRIS
+# Conservative tri-count gate for scene wiring; the binding limit is model
+# CHUNKS (IWALK_MAX_TOTAL_CHUNKS below — pack_iwalk raises past it, and
+# twolevel_scene falls back to the gather machine).
+IWALK_MAX_OBJECT_TRIS = 1_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -74,11 +77,19 @@ def _model_chunk_tables(tri_sub: dict, normals9, pos, model_id: int,
                         tri_off: int):
     """One model's chunk tables in partition-DFS layout: ``w`` [8, k*2*CH_W]
     compact plane table (walk layout), ``aux`` [k*CH_W, AUX_COLS]
-    OBJECT-space shading rows, ``orig`` [k*CH_W] global tri index."""
+    OBJECT-space shading rows, ``orig`` [k*CH_W] global tri index, ``k``,
+    and per-chunk OBJECT AABBs ``(cmin, cmax)`` [k, 3] (multi-part
+    instance-box clipping)."""
     bmin = pos.min(axis=1)
     bmax = pos.max(axis=1)
     perm, starts, spans = chunk_partition(bmin, bmax, CH_W)
     k = len(starts)
+    cmin = np.empty((k, 3), np.float32)
+    cmax = np.empty((k, 3), np.float32)
+    for c in range(k):
+        seg = pos[perm[starts[c] : starts[c] + spans[c]]]
+        cmin[c] = seg.min(axis=(0, 1))
+        cmax[c] = seg.max(axis=(0, 1))
     S = k * CH_W
     slots = np.full(S, -1, np.int64)
     for c in range(k):
@@ -116,7 +127,7 @@ def _model_chunk_tables(tri_sub: dict, normals9, pos, model_id: int,
     a[:, 21] = float(model_id)
     aux[valid] = a
     orig = np.where(valid, tri_off + np.maximum(slots, 0), 0).astype(np.int32)
-    return w, aux, orig, k
+    return w, aux, orig, k, cmin, cmax
 
 
 def _aabb_corners_world(bb_min, bb_max, matrix):
@@ -133,86 +144,147 @@ def _aabb_corners_world(bb_min, bb_max, matrix):
     return world.min(axis=0), world.max(axis=0)
 
 
-def pack_iwalk(models) -> dict:
-    """Pack the instanced-walk engine from a Model list (host numpy)."""
+IWALK_PART_CHUNKS = 1536          # single-part chunk cap (VMEM, 12 MB)
+IWALK_SPLIT_CHUNKS = 768          # per-part chunks in multi-part mode
+IWALK_MAX_PARTS = 16
+IWALK_MAX_TOTAL_CHUNKS = IWALK_MAX_PARTS * IWALK_SPLIT_CHUNKS
+
+
+def _inst_orders(ibmin, ibmax, n_inst):
+    """Per-octant front-to-back instance orders + permuted padded boxes.
+    Instances with degenerate boxes (ibmin > ibmax: empty in this part)
+    sort to the back with +inf gate boxes."""
+    live = (ibmin <= ibmax).all(axis=1)
+    live_ids = np.flatnonzero(live)
+    dead_ids = np.flatnonzero(~live)
+    if len(live_ids) > 1:
+        nodes, perm2, root = build_sah_tree(
+            ibmin[live_ids], ibmax[live_ids], max_leaf=1)
+        orders_local = perm2[_octant_orders(nodes, root, len(live_ids))]
+        orders = live_ids[orders_local]
+    else:
+        orders = np.broadcast_to(live_ids, (8, len(live_ids))).copy()
+    kq = ((n_inst + 1023) // 1024) * 1024
+    cb_oct = np.full((8, 6, kq), 2.0e30, np.float32)
+    ord_pad = np.zeros((8, kq), np.int32)
+    nl = len(live_ids)
+    for o in range(8):
+        po = orders[o] if nl else np.zeros(0, np.int64)
+        cb_oct[o, 0:3, :nl] = ibmin[po].T
+        cb_oct[o, 3:6, :nl] = ibmax[po].T
+        ord_pad[o, :nl] = po
+        ord_pad[o, nl : nl + len(dead_ids)] = dead_ids  # gated out (inf box)
+    return cb_oct, ord_pad
+
+
+def pack_iwalk(models, part_chunks: int = IWALK_PART_CHUNKS,
+               split_chunks: int = IWALK_SPLIT_CHUNKS) -> dict:
+    """Pack the instanced-walk engine from a Model list (host numpy).
+
+    Beyond ``IWALK_PART_CHUNKS`` total model chunks the engine goes
+    multi-part: the concatenated chunk table splits into contiguous slices,
+    each instance's chunk range is CLIPPED per part (localized for the
+    kernel), and per-(instance, part) world boxes — the transform of the
+    union of the clipped range's object chunk boxes — drive tighter gating
+    than whole-instance boxes. The public API threads one live t-window
+    through the part loop, exactly like ``walk`` multi-part. This is how a
+    two-level dragon (multi-hundred-K-tri shared BLAS) traces without
+    baking."""
     from path_tracer_tpu.scene import triangle as tri_mod
 
-    w_parts, aux_parts, orig_parts = [], [], []
+    w_model, aux_parts, orig_parts = [], [], []
     chunk_off = [0]
     tri_off = 0
-    obj_boxes = []
+    cbox_min, cbox_max = [], []
     for mid, model in enumerate(models):
         pos = np.asarray(model.positions, np.float32)
         pre = tri_mod.precompute(pos)
-        w, aux, orig, k = _model_chunk_tables(
+        w, aux, orig, k, cmin, cmax = _model_chunk_tables(
             pre, np.asarray(model.normals, np.float32).reshape(-1, 9),
             pos, mid, tri_off,
         )
-        w_parts.append(w)
+        w_model.append(w)
         aux_parts.append(aux)
         orig_parts.append(orig)
         chunk_off.append(chunk_off[-1] + k)
-        obj_boxes.append((pos.min(axis=(0, 1)), pos.max(axis=(0, 1))))
+        cbox_min.append(cmin)
+        cbox_max.append(cmax)
         tri_off += pos.shape[0]
-    if tri_off > IWALK_MAX_OBJECT_TRIS:
-        raise ValueError(
-            f"iwalk caps at {IWALK_MAX_OBJECT_TRIS} object tris, got {tri_off}")
 
-    w_all = np.concatenate(w_parts, axis=1)
+    K = chunk_off[-1]
+    if K > IWALK_MAX_TOTAL_CHUNKS:
+        raise ValueError(
+            f"iwalk caps at {IWALK_MAX_TOTAL_CHUNKS} model chunks, got {K}")
+    w_all = np.concatenate(w_model, axis=1)
     aux_all = np.concatenate(aux_parts)
     orig_all = np.concatenate(orig_parts)
+    cbox_min = np.concatenate(cbox_min)  # [K, 3] object space (per model)
+    cbox_max = np.concatenate(cbox_max)
 
-    # instance tables
-    inst_f, inst_c, inst_rows = [], [], []
-    ibmin, ibmax = [], []
+    # instance list
+    inst_f, inst_range, inst_rows, inst_mats = [], [], [], []
     for mid, model in enumerate(models):
-        lo, hi = obj_boxes[mid]
         for matrix in model.matrices:
             m = np.asarray(matrix, np.float32)
             rot, tr = m[:, :3], m[:, 3]
             rinv = rot.T
             tinv = -rinv @ tr
             inst_f.append(np.concatenate([rinv.reshape(9), tinv]))
-            inst_c.append((chunk_off[mid], chunk_off[mid + 1]))
+            inst_range.append((chunk_off[mid], chunk_off[mid + 1]))
             row = np.zeros(24, np.float32)
             row[0:9] = rinv.reshape(9)
             row[9:12] = tinv
             row[12:21] = rot.reshape(9)  # forward rotation (normals)
             row[21] = float(mid)
             inst_rows.append(row)
-            wlo, whi = _aabb_corners_world(lo, hi, m)
-            ibmin.append(wlo)
-            ibmax.append(whi)
+            inst_mats.append(m)
     n_inst = len(inst_f)
-    ibmin = np.stack(ibmin).astype(np.float32)
-    ibmax = np.stack(ibmax).astype(np.float32)
+    inst_f = np.stack(inst_f).astype(np.float32)
+    inst_range = np.asarray(inst_range, np.int64)
 
-    # per-octant front-to-back instance orders from a SAH tree over the
-    # instance world boxes (leaf slot == instance id: max_leaf=1, then map
-    # layout slot back through the builder's permutation)
-    nodes, perm2, root = build_sah_tree(ibmin, ibmax, max_leaf=1)
-    orders_layout = _octant_orders(nodes, root, n_inst)
-    orders = perm2[orders_layout]  # instance ids in visit order
+    def _world_boxes(pc0, pc1):
+        """Per-instance world box of the chunks clipped to [pc0, pc1);
+        empty instances get inverted boxes (lo > hi)."""
+        lo = np.full((n_inst, 3), 1.0, np.float32)
+        hi = np.full((n_inst, 3), -1.0, np.float32)
+        clip_lo = np.maximum(inst_range[:, 0], pc0)
+        clip_hi = np.minimum(inst_range[:, 1], pc1)
+        for i in range(n_inst):
+            if clip_lo[i] >= clip_hi[i]:
+                continue
+            olo = cbox_min[clip_lo[i] : clip_hi[i]].min(axis=0)
+            ohi = cbox_max[clip_lo[i] : clip_hi[i]].max(axis=0)
+            lo[i], hi[i] = _aabb_corners_world(olo, ohi, inst_mats[i])
+        return lo, hi, clip_lo, clip_hi
 
-    kq = ((n_inst + 1023) // 1024) * 1024
-    cb_oct = np.full((8, 6, kq), 2.0e30, np.float32)
-    ord_pad = np.zeros((8, kq), np.int32)
-    for o in range(8):
-        po = orders[o]
-        cb_oct[o, 0:3, :n_inst] = ibmin[po].T
-        cb_oct[o, 3:6, :n_inst] = ibmax[po].T
-        ord_pad[o, :n_inst] = po
+    def _part(pc0, pc1, kmax):
+        lo, hi, clip_lo, clip_hi = _world_boxes(pc0, pc1)
+        cb_oct, ord_pad = _inst_orders(lo, hi, n_inst)
+        empty = clip_lo >= clip_hi
+        inst_c = np.stack(
+            [np.where(empty, 0, clip_lo - pc0),
+             np.where(empty, 0, clip_hi - pc0)], axis=1,
+        ).astype(np.int32)
+        w = np.zeros((8, kmax * 2 * CH_W), np.float32)
+        w[:, : (pc1 - pc0) * 2 * CH_W] = w_all[:, pc0 * 2 * CH_W : pc1 * 2 * CH_W]
+        live = ~empty
+        plo = lo[live].min(axis=0) if live.any() else np.zeros(3, np.float32)
+        phi = hi[live].max(axis=0) if live.any() else np.zeros(3, np.float32)
+        pad = 1e-4 * float(max(np.abs(plo).max(), np.abs(phi).max(), 1.0)) + 1e-6
+        return {
+            "w": w, "cb_oct": cb_oct, "ord_oct": ord_pad,
+            "inst_f": inst_f, "inst_c": inst_c,
+            "root_lo": (plo - pad).astype(np.float32),
+            "root_hi": (phi + pad).astype(np.float32),
+        }
 
-    scene_lo = ibmin.min(axis=0)
-    scene_hi = ibmax.max(axis=0)
+    # global sort quantizers / root box (whole-instance world boxes)
+    glob_lo, glob_hi, _, _ = _world_boxes(0, K)
+    scene_lo = glob_lo.min(axis=0)
+    scene_hi = glob_hi.max(axis=0)
     extent = np.maximum(scene_hi - scene_lo, 1e-6)
     pad = 1e-4 * float(max(np.abs(scene_lo).max(), np.abs(scene_hi).max(), 1.0)) + 1e-6
-    return {
-        "w": w_all,
-        "cb_oct": cb_oct,
-        "ord_oct": ord_pad,
-        "inst_f": np.stack(inst_f).astype(np.float32),
-        "inst_c": np.asarray(inst_c, np.int32),
+    out = {
         "inst_rows": np.stack(inst_rows),
         "aux": aux_all,
         "origmap": orig_all,
@@ -221,6 +293,20 @@ def pack_iwalk(models) -> dict:
         "root_lo": (scene_lo - pad).astype(np.float32),
         "root_hi": (scene_hi + pad).astype(np.float32),
     }
+    if K <= part_chunks:
+        single = _part(0, K, K)
+        single.update(out)
+        return single
+    bounds = list(range(0, K, split_chunks))
+    if bounds[-1] != K:
+        bounds.append(K)
+    kmax = max(b - a for a, b in zip(bounds, bounds[1:]))
+    out["parts"] = tuple(
+        _part(a, b, kmax) for a, b in zip(bounds, bounds[1:])
+    )
+    out["slot_off"] = np.asarray(
+        [a * CH_W for a in bounds[:-1]], np.float32)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -476,6 +562,32 @@ def _iwalk_any_call(eng, origin, direction, t_limit, interpret):
 # public API
 # ---------------------------------------------------------------------------
 
+def _iclosest_parts(eng: dict, o_s, d_s, tl_s, interp):
+    """Part loop with one live t-window (see walk._closest_parts); columns
+    (best_t | global slot | instance | pad)."""
+    parts = eng.get("parts")
+    if parts is None:
+        return _iwalk_closest_call(eng, o_s, d_s, tl_s, interp)
+    best = None
+    for pi, part in enumerate(parts):
+        off = eng["slot_off"][pi]
+        tl_i = tl_s if best is None else jnp.minimum(tl_s, best[:, 0])
+        out = _iwalk_closest_call(part, o_s, d_s, tl_i, interp)
+        hit_i = out[:, 0] < _BIG
+        slot_i = jnp.where(hit_i, out[:, 1] + off, -1.0)
+        if best is None:
+            best = jnp.stack([out[:, 0], slot_i, out[:, 2], out[:, 3]], axis=1)
+        else:
+            upd = out[:, 0] < best[:, 0]
+            best = jnp.stack(
+                [jnp.where(upd, out[:, 0], best[:, 0]),
+                 jnp.where(upd, slot_i, best[:, 1]),
+                 jnp.where(upd, out[:, 2], best[:, 2]),
+                 best[:, 3]], axis=1,
+            )
+    return best
+
+
 def iwalk_closest_hit_shade(eng: dict, origin, direction, t_limit):
     """Closest hit through instances: ``(tri_idx, t, u, v, normal_world
     [N,3], model_id [N] i32, inst [N] i32)`` — tri_idx in the engine's
@@ -485,7 +597,7 @@ def iwalk_closest_hit_shade(eng: dict, origin, direction, t_limit):
         o_s, d_s, tl_s = origin[order], direction[order], t_limit[order]
     else:
         o_s, d_s, tl_s = origin, direction, t_limit
-    out = _iwalk_closest_call(eng, o_s, d_s, tl_s, _interpret_default())
+    out = _iclosest_parts(eng, o_s, d_s, tl_s, _interpret_default())
     if WALK_SORT:
         out = _unsort_rows(out, order)
     gl = out[:, 1].astype(jnp.int32)
@@ -538,13 +650,23 @@ def iwalk_closest_hit_shade(eng: dict, origin, direction, t_limit):
     return orig, t, u, v, normal, model, inst
 
 
+def _iany_parts(eng: dict, o, d, tl, interp):
+    parts = eng.get("parts")
+    if parts is None:
+        return _iwalk_any_call(eng, o, d, tl, interp) > 0.0
+    occ = jnp.zeros(o.shape[0], bool)
+    for part in parts:
+        tl_i = jnp.where(occ, 0.0, tl)
+        occ = occ | (_iwalk_any_call(part, o, d, tl_i, interp) > 0.0)
+    return occ
+
+
 def iwalk_any_hit(eng: dict, origin, direction, t_limit):
     if WALK_SORT_ANY:
         order = _coherence_order(eng, origin, direction, t_limit)
-        out = _iwalk_any_call(
+        out = _iany_parts(
             eng, origin[order], direction[order], t_limit[order],
             _interpret_default(),
         )
-        return _unsort_rows(out, order) > 0.0
-    out = _iwalk_any_call(eng, origin, direction, t_limit, _interpret_default())
-    return out > 0.0
+        return _unsort_rows(out, order)
+    return _iany_parts(eng, origin, direction, t_limit, _interpret_default())

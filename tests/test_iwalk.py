@@ -125,6 +125,39 @@ def test_iwalk_any_hit_window_semantics(setup):
     assert not a_far[~hit].any()
 
 
+def test_iwalk_multipart_matches_single(setup):
+    """Force the multi-part split (tiny per-part chunk budget) — winners,
+    t and instances must be IDENTICAL to the single-part engine: parts are
+    pure work division with a carried t-window."""
+    eng, tri_w, *_ = setup
+    models = _models()
+    eng_mp_np = iwalk.pack_iwalk(models, part_chunks=4, split_chunks=4)
+    assert len(eng_mp_np["parts"]) >= 3
+    shapes = {p["w"].shape for p in eng_mp_np["parts"]}
+    assert len(shapes) == 1  # one compiled kernel across parts
+
+    def up(x):
+        if isinstance(x, dict):
+            return {k: up(v) for k, v in x.items()}
+        if isinstance(x, tuple):
+            return tuple(up(v) for v in x)
+        return jnp.asarray(x)
+
+    eng_mp = up(eng_mp_np)
+    n = 384
+    o, d = _rays(n, seed=9)
+    tl = jnp.full((n,), 1e30, jnp.float32)
+    si, st, su, sv, sn, sm, sinst = iwalk.iwalk_closest_hit_shade(eng, o, d, tl)
+    mi, mt, mu, mv, mn, mm, minst = iwalk.iwalk_closest_hit_shade(eng_mp, o, d, tl)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(mi))
+    np.testing.assert_array_equal(np.asarray(sinst), np.asarray(minst))
+    np.testing.assert_allclose(np.asarray(st), np.asarray(mt), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sm), np.asarray(mm))
+    a_s = np.asarray(iwalk.iwalk_any_hit(eng, o, d, jnp.asarray(np.asarray(st) * 1.01)))
+    a_m = np.asarray(iwalk.iwalk_any_hit(eng_mp, o, d, jnp.asarray(np.asarray(st) * 1.01)))
+    np.testing.assert_array_equal(a_s, a_m)
+
+
 def test_iwalk_dead_and_nan_lanes(setup):
     eng, *_ = setup
     n = 256
