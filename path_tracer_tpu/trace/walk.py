@@ -711,7 +711,9 @@ def _walk_any_kernel(
 # jitted call wrappers
 # ---------------------------------------------------------------------------
 
-G_BLK = 8  # ray blocks per grid step
+# ray blocks per grid step (amortizes per-step pipeline overhead);
+# PT_WALK_GBLK overrides for hardware A/B
+G_BLK = int(_os.environ.get("PT_WALK_GBLK", "8"))
 
 
 def _pack_rays_cols(origin, direction, t_limit):
