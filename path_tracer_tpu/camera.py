@@ -49,13 +49,22 @@ def perspective_infinite_rh(fov_y_rad: float, aspect: float, z_near: float = 1.0
 
 
 class Camera:
-    """fov in degrees; aspect = width/height. The unused aperture/focus
-    parameters of ``Camera::new`` (camera.rs:17) are dropped."""
+    """fov in degrees; aspect = width/height. ``aperture``/``focus_distance``
+    are the LIVE form of ``Camera::new``'s dead thin-lens parameters
+    (camera.rs:17 — always passed 0.0 there): aperture is the lens diameter
+    in world units, focus defaults to the look-at distance."""
 
-    def __init__(self, origin, target, fov: float = 60.0, aspect_ratio: float = 16.0 / 9.0):
+    def __init__(self, origin, target, fov: float = 60.0,
+                 aspect_ratio: float = 16.0 / 9.0, aperture: float = 0.0,
+                 focus_distance: float | None = None):
         self.matrix = look_at_matrix(origin, target)  # [3,4] camera->world
         self.projection = perspective_infinite_rh(np.deg2rad(fov), aspect_ratio)
         self.inv_projection = np.linalg.inv(self.projection)
+        self.aperture = float(aperture)
+        if focus_distance is None:
+            focus_distance = float(np.linalg.norm(
+                np.asarray(target, np.float64) - np.asarray(origin, np.float64)))
+        self.focus_distance = float(focus_distance)
         # yaw/pitch state for interactive rotation. Naming follows the
         # reference's quirk (camera.rs:23 binds ``(pitch, yaw, _) =
         # to_euler(YXZ)``): ``pitch`` is the rotation about Y, ``yaw`` about

@@ -25,6 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-bounces", type=int, default=64)
     p.add_argument("--no-nee", action="store_true", help="disable next-event estimation")
     p.add_argument("--fov", type=float, default=40.0)
+    p.add_argument("--aperture", type=float, default=0.0,
+                   help="thin-lens diameter in world units (0 = pinhole)")
+    p.add_argument("--focus", type=float, default=0.0,
+                   help="focus distance (0 = the scene's look-at distance)")
     p.add_argument("--out", default="render.png")
     p.add_argument("--checkpoint", default=None, help="checkpoint .npz path (resume if exists)")
     p.add_argument("--checkpoint-every", type=int, default=0)
@@ -87,6 +91,10 @@ def main(argv=None):
 
     mtypes = scene_host.active_mtypes
     any_volumes = scene_host.has_volumes
+    aperture = args.aperture if args.aperture > 0 else getattr(cam, "aperture", 0.0)
+    focus = args.focus or getattr(cam, "focus_distance", 0.0)
+    lens = dict(aperture=aperture, focus=focus,
+                cam_basis=jnp.asarray(cam.matrix[:, :3])) if aperture > 0 else {}
     batch = max(1, min(32, args.checkpoint_every or 32))
 
     def trace_batch(s, cur):
@@ -102,7 +110,7 @@ def main(argv=None):
                 scene, ndc, org, s, args.width, args.height,
                 max_bounces=args.max_bounces, enable_nee=not args.no_nee,
                 has_lights=has_lights, spp=cur, mtypes=mtypes,
-                any_volumes=any_volumes,
+                any_volumes=any_volumes, **lens,
             )
         rad.block_until_ready()
         return rad, rays

@@ -58,6 +58,7 @@ _S_NEE_LIGHT = 8
 _S_NEE_BSDF = 9
 _S_SCATTER = 10
 _S_CAMERA = 11
+_S_LENS = 12
 
 
 def mis_heuristic(f: jnp.ndarray, g: jnp.ndarray, power: int = HEURISTIC_POWER) -> jnp.ndarray:
@@ -339,6 +340,9 @@ def trace_lanes(
     steps_per_iter: int = 1,
     consistent_ggx: bool = False,
     pool: bool = False,
+    aperture: float = 0.0,
+    focus: float = 0.0,
+    cam_basis: jnp.ndarray | None = None,
 ):
     """Trace ``spp`` path samples per film lane (lane = y*width + x, y
     bottom-up) with PATH REGENERATION: the moment a lane's path terminates it
@@ -409,6 +413,25 @@ def trace_lanes(
         v = (y + offset[:, 1]) / height
         d = ray_directions(ndc_to_world, cam_origin, u, v)
         o = jnp.broadcast_to(cam_origin, (n, 3)).astype(jnp.float32)
+        if aperture > 0.0:
+            # thin-lens defocus (the live form of camera.rs:17's dead
+            # aperture/focus params): jitter the origin on the lens disk,
+            # re-aim at the focal point. ``aperture`` and ``focus`` are
+            # STATIC — aperture == 0 compiles all of this out.
+            u4 = uniform4(ln, s_idx, jnp.uint32(0), jnp.uint32(_S_LENS))
+            r = (aperture * 0.5) * jnp.sqrt(u4[:, 0])
+            phi = 6.283185307179586 * u4[:, 1]
+            lx = r * jnp.cos(phi)
+            ly = r * jnp.sin(phi)
+            right = cam_basis[:, 0]
+            up = cam_basis[:, 1]
+            o2 = o + lx[:, None] * right + ly[:, None] * up
+            p = o + d * jnp.float32(focus)
+            d2 = p - o2
+            nrm = jnp.sqrt(
+                d2[:, 0] * d2[:, 0] + d2[:, 1] * d2[:, 1] + d2[:, 2] * d2[:, 2]
+            )
+            return o2, d2 / nrm[:, None]
         return o, d
 
     base = jnp.asarray(sample_id, jnp.uint32)
@@ -690,7 +713,7 @@ def trace_lanes(
     jax.jit,
     static_argnames=(
         "width", "height", "max_bounces", "enable_nee", "has_lights",
-        "mtypes", "any_volumes",
+        "mtypes", "any_volumes", "aperture", "focus",
     ),
 )
 def render_sample(
@@ -706,6 +729,9 @@ def render_sample(
     spp: int = 1,
     mtypes: tuple = bsdf_mod.ALL_MTYPES,
     any_volumes: bool = True,
+    aperture: float = 0.0,
+    focus: float = 0.0,
+    cam_basis=None,
 ):
     """Trace ``spp`` samples/pixel for the whole film on one device (with
     path regeneration between samples).
@@ -718,6 +744,7 @@ def render_sample(
         scene, ndc_to_world, cam_origin, sample_id, lane, width, height,
         max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
         spp=spp, mtypes=mtypes, any_volumes=any_volumes,
+        aperture=aperture, focus=focus, cam_basis=cam_basis,
     )
 
 
@@ -751,6 +778,9 @@ def render_film(
     steps_per_iter: int | None = None,
     consistent_ggx: bool = False,
     pool: bool | None = None,
+    aperture: float = 0.0,
+    focus: float = 0.0,
+    cam_basis=None,
 ):
     """Trace ``spp`` samples/pixel over the film in lane tiles.
 
@@ -805,7 +835,8 @@ def render_film(
         trace_lanes,
         static_argnames=("width", "height", "max_bounces", "enable_nee",
                          "has_lights", "mtypes", "any_volumes",
-                         "steps_per_iter", "consistent_ggx", "pool"),
+                         "steps_per_iter", "consistent_ggx", "pool",
+                         "aperture", "focus"),
     )
     rads = []
     rays_total = jnp.zeros((2,), jnp.float32)
@@ -817,6 +848,7 @@ def render_film(
             has_lights=has_lights, spp=spp, mtypes=mtypes,
             any_volumes=any_volumes, steps_per_iter=steps_per_iter,
             consistent_ggx=consistent_ggx, pool=pool,
+            aperture=aperture, focus=focus, cam_basis=cam_basis,
         )
         rads.append(rad)
         rays_total = rays_total + jnp.sum(rays, axis=0)

@@ -216,3 +216,28 @@ def test_render_film_tiling_invariance(cornell):
     b, rb = render_film(scene, ndc, org, 0, W, H, 2, tile_lanes=(W * H) // 4, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ra), np.asarray(rb))
+
+
+def test_thin_lens_defocus():
+    """Thin-lens aperture (the live form of camera.rs:17's dead params):
+    aperture=0 is the pinhole path (compiled out); aperture>0 jitters lens
+    origins deterministically and re-aims at the focal plane."""
+    scene_host, cam = scenes.cornell_diffuse()
+    scene = scene_host.device()
+    ndc = jnp.asarray(cam.view_proj_inverse())
+    org = jnp.asarray(cam.origin)
+    basis = jnp.asarray(cam.matrix[:, :3])
+    kw = dict(max_bounces=6, enable_nee=True, has_lights=True,
+              mtypes=scene_host.active_mtypes, any_volumes=False)
+    pin, _, _, _ = render_sample(scene, ndc, org, 0, W, H, **kw)
+    # focus at the look-at point; wide aperture for visible defocus
+    lens = dict(aperture=120.0, focus=cam.focus_distance, cam_basis=basis)
+    blur, _, _, _ = render_sample(scene, ndc, org, 0, W, H, **kw, **lens)
+    blur2, _, _, _ = render_sample(scene, ndc, org, 0, W, H, **kw, **lens)
+    pin, blur, blur2 = np.asarray(pin), np.asarray(blur), np.asarray(blur2)
+    assert np.isfinite(blur).all() and (blur >= 0).all()
+    np.testing.assert_array_equal(blur, blur2)  # deterministic lens samples
+    assert np.abs(blur - pin).max() > 1e-3      # the lens path is live
+    # same scene, same estimator: the (huge test) aperture shifts energy at
+    # edges/occlusions but must stay the same image family, not garbage
+    assert abs(blur.mean() - pin.mean()) < 0.3 * max(pin.mean(), 1e-6)
