@@ -259,10 +259,14 @@ class Scene:
         # dense engines above the fused-kernel size; dragon-class soups
         # beyond the single-part VMEM cap stream through the multi-part
         # variant. PT_WALK=0 forces the dense engines (measurement/fallback).
+        # PT_WALK_MIN overrides the lower bound (A/B: walk vs dense on
+        # mid-size scenes — set 0 to force walk everywhere above the
+        # compile-time streams).
+        walk_min = int(os.environ.get("PT_WALK_MIN", str(DENSE_PL_MAX_TRIS)))
         want_walk = (
             jax.default_backend() == "tpu"
             and os.environ.get("PT_WALK", "1") != "0"
-            and DENSE_PL_MAX_TRIS < self.num_world_tris <= WALK_PARTS_MAX_TRIS
+            and walk_min < self.num_world_tris <= WALK_PARTS_MAX_TRIS
         )
 
         def _up_tree(x):
