@@ -380,4 +380,102 @@ int64_t bvh_build(const float *bbmin, const float *bbmax, int64_t n, int64_t max
   return m;
 }
 
+// Spatial chunk partition: split until span <= chunk with the same binned
+// equal-count SAH splitter, NO leaf collapse — the native twin of
+// scene/bvh.py::chunk_partition (cross-checked bit-identical in
+// tests/test_native.py). Leaves emit in left-first DFS order. Outputs
+// (malloc'd): perm [n] int64, starts/spans [k] int64. Returns k or -1.
+int64_t chunk_build(const float *bbmin, const float *bbmax, int64_t n,
+                    int64_t chunk, int64_t **out_perm, int64_t **out_starts,
+                    int64_t **out_spans) {
+  if (n <= 0 || chunk <= 0) return -1;
+  std::vector<int64_t> perm((size_t)n);
+  std::iota(perm.begin(), perm.end(), 0);
+  std::vector<int64_t> starts, spans;
+  std::vector<float> suf_sa;
+  auto prim_box = [&](int64_t id) {
+    Box b;
+    for (int i = 0; i < 3; i++) {
+      b.mn[i] = bbmin[id * 3 + i];
+      b.mx[i] = bbmax[id * 3 + i];
+    }
+    return b;
+  };
+  // explicit DFS stack, left pushed last -> leaves in left-first order
+  std::vector<std::pair<int64_t, int64_t>> stack{{0, n}};
+  while (!stack.empty()) {
+    auto [start, end] = stack.back();
+    stack.pop_back();
+    int64_t span = end - start;
+    if (span <= chunk) {
+      starts.push_back(start);
+      spans.push_back(span);
+      continue;
+    }
+    Box nb;
+    nb.reset();
+    for (int64_t i = start; i < end; i++) nb.grow(prim_box(perm[(size_t)i]));
+    // first-max axis (np.argmax semantics)
+    int axis = 0;
+    float best_len = nb.mx[0] - nb.mn[0];
+    for (int i = 1; i < 3; i++) {
+      float len = nb.mx[i] - nb.mn[i];
+      if (len > best_len) {
+        best_len = len;
+        axis = i;
+      }
+    }
+    std::stable_sort(perm.begin() + start, perm.begin() + end,
+                     [&](int64_t a, int64_t b) {
+                       return bbmin[a * 3 + axis] < bbmin[b * 3 + axis];
+                     });
+    int64_t bin_size = std::max<int64_t>(span / kDesiredBins, 1);
+    int64_t num_bins = span / bin_size - 1;
+    int64_t best_split;
+    if (num_bins <= 0) {
+      best_split = std::max<int64_t>(span / 2, 1);
+    } else {
+      suf_sa.resize((size_t)span);
+      Box acc;
+      acc.reset();
+      for (int64_t i = span - 1; i >= 0; i--) {
+        acc.grow(prim_box(perm[(size_t)(start + i)]));
+        suf_sa[(size_t)i] = acc.sa();
+      }
+      // candidates js = (i+1)*bin_size clipped below span; SAH in double
+      // from f32 areas (NEP-50 promotion parity with the NumPy splitter);
+      // strict < keeps the FIRST minimum (np.argmin)
+      double best = INFINITY;
+      best_split = -1;
+      Box pre;
+      pre.reset();
+      int64_t next = bin_size, used = 0;
+      for (int64_t j = 1; j < span && used < num_bins; j++) {
+        pre.grow(prim_box(perm[(size_t)(start + j - 1)]));
+        if (j == next) {
+          double sah = (double)j * (double)pre.sa() +
+                       (double)(span - j) * (double)suf_sa[(size_t)j];
+          if (sah < best) {
+            best = sah;
+            best_split = j;
+          }
+          used++;
+          next += bin_size;
+        }
+      }
+      if (best_split < 0) best_split = std::max<int64_t>(span / 2, 1);
+    }
+    stack.push_back({start + best_split, end});  // right (popped second)
+    stack.push_back({start, start + best_split});  // left (popped first)
+  }
+  int64_t k = (int64_t)starts.size();
+  *out_perm = (int64_t *)std::malloc((size_t)n * sizeof(int64_t));
+  std::memcpy(*out_perm, perm.data(), (size_t)n * sizeof(int64_t));
+  *out_starts = (int64_t *)std::malloc((size_t)k * sizeof(int64_t));
+  std::memcpy(*out_starts, starts.data(), (size_t)k * sizeof(int64_t));
+  *out_spans = (int64_t *)std::malloc((size_t)k * sizeof(int64_t));
+  std::memcpy(*out_spans, spans.data(), (size_t)k * sizeof(int64_t));
+  return k;
+}
+
 }  // extern "C"

@@ -66,6 +66,11 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.bvh_build.restype = ctypes.c_int64
+        lib.chunk_build.argtypes = [
+            _F32P, _F32P, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(_I64P), ctypes.POINTER(_I64P), ctypes.POINTER(_I64P),
+        ]
+        lib.chunk_build.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -139,3 +144,26 @@ def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray, max_leaf: int = 4):
         np.where(flat["c1_count"][0] == -1, -np.inf, flat["c1_max"][0]),
     ).astype(np.float32)
     return flat, perm, int(depth.value)
+
+
+def chunk_partition(aabb_min: np.ndarray, aabb_max: np.ndarray, chunk: int):
+    """Native spatial chunk partition; same output contract (and
+    bit-identical results, tests/test_native.py) as
+    `scene.bvh.chunk_partition_py`."""
+    lib = _load()
+    assert lib is not None
+    n = aabb_min.shape[0]
+    bbmin = np.ascontiguousarray(aabb_min, np.float32)
+    bbmax = np.ascontiguousarray(aabb_max, np.float32)
+    perm_p, starts_p, spans_p = _I64P(), _I64P(), _I64P()
+    k = lib.chunk_build(
+        bbmin.ctypes.data_as(_F32P), bbmax.ctypes.data_as(_F32P),
+        n, chunk,
+        ctypes.byref(perm_p), ctypes.byref(starts_p), ctypes.byref(spans_p),
+    )
+    if k < 0:
+        raise ValueError("chunk_build failed")
+    perm = _take(lib, perm_p, n, np.int64, (n,))
+    starts = _take(lib, starts_p, k, np.int64, (k,))
+    spans = _take(lib, spans_p, k, np.int64, (k,))
+    return perm, starts, spans

@@ -214,6 +214,18 @@ def flatten(nodes: list[_Node], root: int) -> dict[str, np.ndarray]:
 
 
 def chunk_partition(aabb_min: np.ndarray, aabb_max: np.ndarray, chunk: int):
+    """Partition primitives into spatial chunks of <= ``chunk`` prims —
+    dispatches to the native C++ twin when available (dragon-scale soups
+    partition ~20x faster); both produce bit-identical output
+    (tests/test_native.py)."""
+    from path_tracer_tpu import native
+
+    if native.available():
+        return native.chunk_partition(aabb_min, aabb_max, chunk)
+    return chunk_partition_py(aabb_min, aabb_max, chunk)
+
+
+def chunk_partition_py(aabb_min: np.ndarray, aabb_max: np.ndarray, chunk: int):
     """Partition primitives into spatial chunks of <= ``chunk`` prims with the
     same binned-SAH splitter as ``build_sah_tree`` but NO leaf collapse: every
     node splits until its span fits one chunk. Used by the walk engine

@@ -84,17 +84,18 @@ def _model_chunk_tables(tri_sub: dict, normals9, pos, model_id: int,
     bmax = pos.max(axis=1)
     perm, starts, spans = chunk_partition(bmin, bmax, CH_W)
     k = len(starts)
-    cmin = np.empty((k, 3), np.float32)
-    cmax = np.empty((k, 3), np.float32)
-    for c in range(k):
-        seg = pos[perm[starts[c] : starts[c] + spans[c]]]
-        cmin[c] = seg.min(axis=(0, 1))
-        cmax[c] = seg.max(axis=(0, 1))
+    # chunks tile [0, t) contiguously: segment reduceat + ragged scatter
+    # replace the per-chunk python loops (see walk.pack_walk)
+    from path_tracer_tpu.trace.walk import _ragged_arange
+
+    cmin = np.minimum.reduceat(bmin[perm], starts, axis=0)
+    cmax = np.maximum.reduceat(bmax[perm], starts, axis=0)
     S = k * CH_W
     slots = np.full(S, -1, np.int64)
-    for c in range(k):
-        s, n_ = starts[c], spans[c]
-        slots[c * CH_W : c * CH_W + n_] = perm[s : s + n_]
+    spans_a = np.asarray(spans)
+    within = _ragged_arange(spans_a)
+    rows = np.repeat(np.arange(k, dtype=np.int64) * CH_W, spans_a) + within
+    slots[rows] = perm[np.repeat(np.asarray(starts), spans_a) + within]
     valid = slots >= 0
     idx = slots[valid]
 

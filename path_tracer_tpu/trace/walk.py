@@ -126,6 +126,16 @@ def _octant_orders(nodes, root, k) -> np.ndarray:
     return orders
 
 
+def _ragged_arange(spans: np.ndarray) -> np.ndarray:
+    """[0..spans[0]) ++ [0..spans[1]) ++ ... as one flat int64 array."""
+    total = int(spans.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    seg0 = np.zeros(len(spans), np.int64)
+    seg0[1:] = np.cumsum(spans[:-1])
+    return np.arange(total, dtype=np.int64) - np.repeat(seg0, spans)
+
+
 def pack_walk(tri: dict, normals_flat, model, positions) -> dict:
     """Pack the walk-engine tables (host numpy).
 
@@ -152,26 +162,25 @@ def pack_walk(tri: dict, normals_flat, model, positions) -> dict:
     k = len(starts)
     pad = 1e-4 * float(np.abs(pos).max(initial=1.0)) + 1e-6
 
-    # chunk AABBs in partition DFS order
-    cmin = np.empty((k, 3), np.float32)
-    cmax = np.empty((k, 3), np.float32)
-    for c in range(k):
-        seg = pos[perm[starts[c] : starts[c] + spans[c]]]
-        cmin[c] = seg.min(axis=(0, 1)) - pad
-        cmax[c] = seg.max(axis=(0, 1)) + pad
+    # chunk AABBs in partition DFS order — chunks tile [0, t) contiguously,
+    # so segment reduceat replaces the per-chunk python loop
+    cmin = np.minimum.reduceat(bmin[perm], starts, axis=0) - pad
+    cmax = np.maximum.reduceat(bmax[perm], starts, axis=0) + pad
 
     # global SAH tree over chunk boxes; chunks laid out in tree leaf order
     # (leaf c_idx == layout slot because every leaf has span 1)
     nodes, perm2, root = build_sah_tree(cmin, cmax, max_leaf=1)
     ord_oct = _octant_orders(nodes, root, k)
 
-    # original soup index per padded layout slot
+    # original soup index per padded layout slot (vectorized ragged scatter)
     S = k * CH_W
     slots = np.full(S, -1, np.int64)
-    for c_local in range(k):
-        gc = perm2[c_local]
-        s, n_ = starts[gc], spans[gc]
-        slots[c_local * CH_W : c_local * CH_W + n_] = perm[s : s + n_]
+    gc = np.asarray(perm2)
+    seg_spans = np.asarray(spans)[gc]
+    within = _ragged_arange(seg_spans)
+    rows = np.repeat(np.arange(k, dtype=np.int64) * CH_W, seg_spans) + within
+    src = np.repeat(np.asarray(starts)[gc], seg_spans) + within
+    slots[rows] = perm[src]
     valid = slots >= 0
     idx = slots[valid]
 

@@ -63,3 +63,25 @@ def test_bvh_large_mesh_and_speed():
     assert dt < 2.0, f"native build too slow: {dt:.2f}s"
     assert sorted(perm.tolist()) == list(range(pos.shape[0]))
     assert depth <= 48
+
+
+def test_native_chunk_partition_bit_identical():
+    """The C++ chunk splitter must make the IDENTICAL split decisions as the
+    NumPy one (same SAH promotion semantics, same stable sort, same DFS
+    order) — walk-engine layouts depend only on this partition."""
+    from path_tracer_tpu import native
+    from path_tracer_tpu.scene import bvh, procedural, triangle
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    pos, _ = procedural.bumpy_sphere(nu=96, nv=96)  # ~18K tris
+    bmin, bmax = triangle.aabbs(pos)
+    for cap in (128, 1024, 7):
+        p_n, s_n, sp_n = native.chunk_partition(bmin, bmax, cap)
+        p_p, s_p, sp_p = bvh.chunk_partition_py(bmin, bmax, cap)
+        np.testing.assert_array_equal(p_n, p_p)
+        np.testing.assert_array_equal(s_n, s_p)
+        np.testing.assert_array_equal(sp_n, sp_p)
+        assert (sp_n <= cap).all() and sp_n.sum() == pos.shape[0]
