@@ -26,6 +26,15 @@ run bench_all python benches/bench_all.py --size 512 --spp 16 --extended
 #    if time allows — rate is spp-invariant past a few waves)
 run twolevel python benches/bench_twolevel.py --spp 64
 
+# 4b. two-level dragon (shared BLAS, multi-part iwalk) at a modest slice
+run twolevel_dragon python benches/bench_twolevel.py --scene dragon \
+    --width 512 --height 512 --spp 8
+
+# 4c. A/B knobs on the mid-size configs (walk below the dense threshold;
+#     sort on/off) — cheap single-config runs
+run ab_walkmin env PT_WALK_MIN=0 python benches/bench_all.py --size 512 --spp 16
+run ab_nosort env PT_WALK_SORT=0 python benches/bench_all.py --size 512 --spp 16 --extended
+
 # 5. interactive loop
 run fps python benches/interactive_fps.py --frames 48
 
