@@ -52,6 +52,9 @@ def render_sample_sharded(
     spp: int = 1,
     mtypes=None,
     any_volumes: bool = True,
+    aperture: float = 0.0,
+    focus: float = 0.0,
+    cam_basis=None,
 ):
     """``spp`` samples/pixel with film lanes sharded across ``mesh``.
 
@@ -76,6 +79,7 @@ def render_sample_sharded(
             scene_rep, ndc, org, sample_id, lane, width, height,
             max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
             spp=spp, mtypes=kinds, any_volumes=any_volumes,
+            aperture=aperture, focus=focus, cam_basis=cam_basis,
         )
         return rad, rays
 
@@ -105,6 +109,9 @@ def render_spp_sharded(
     spp: int = 1,
     mtypes=None,
     any_volumes: bool = True,
+    aperture: float = 0.0,
+    focus: float = 0.0,
+    cam_basis=None,
 ):
     """Each device traces the whole film at ``spp`` samples starting from
     ``base_sample + device_index * spp``; the radiance sums are reduced with
@@ -128,6 +135,7 @@ def render_spp_sharded(
             lane, width, height,
             max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
             spp=spp, mtypes=kinds, any_volumes=any_volumes,
+            aperture=aperture, focus=focus, cam_basis=cam_basis,
         )
         acc = jnp.concatenate([rad, jnp.full((n, 1), spp, jnp.float32)], axis=1)
         return jax.lax.psum(acc, axis)

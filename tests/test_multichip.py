@@ -129,3 +129,25 @@ def test_twolevel_iwalk_sharded():
     np.testing.assert_allclose(
         np.asarray(rad_sh), np.asarray(rad_ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_defocus_sharded_matches_single(setup):
+    """Thin-lens camera rays key RNG on absolute (lane, sample) — sharding
+    must not change the lens sample pattern."""
+    scene, ndc, org = setup
+    scene_host, cam = scenes.cornell_diffuse()
+    lens = dict(aperture=80.0, focus=cam.focus_distance,
+                cam_basis=jnp.asarray(cam.matrix[:, :3]))
+    mesh = make_mesh(4)
+    rad_sh, _ = render_sample_sharded(
+        scene, ndc, org, 2, W, H, mesh, max_bounces=4, **lens)
+    rad_ref, _, _, _ = render_sample(
+        scene, ndc, org, 2, W, H, max_bounces=4, enable_nee=True,
+        has_lights=True, **lens)
+    # lens-jittered rays land on more knife-edge triangle tests than pinhole
+    # rays; differently-shaped shard programs may round those differently
+    # (see module docstring) — identical for >=99% of lanes, close in mean
+    rad_sh, rad_ref = np.asarray(rad_sh), np.asarray(rad_ref)
+    same = (np.abs(rad_sh - rad_ref).max(axis=-1) < 1e-5).mean()
+    assert same >= 0.99, same
+    assert abs(rad_sh.mean() - rad_ref.mean()) < 0.02 * max(rad_ref.mean(), 1e-6)
