@@ -58,6 +58,7 @@ class Camera:
                  aspect_ratio: float = 16.0 / 9.0, aperture: float = 0.0,
                  focus_distance: float | None = None):
         self.matrix = look_at_matrix(origin, target)  # [3,4] camera->world
+        self.fov = float(fov)
         self.projection = perspective_infinite_rh(np.deg2rad(fov), aspect_ratio)
         self.inv_projection = np.linalg.inv(self.projection)
         self.aperture = float(aperture)
@@ -87,6 +88,13 @@ class Camera:
         ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
         rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]], np.float32)
         self.matrix[:, :3] = ry @ rx
+
+    def set_aspect(self, aspect_ratio: float) -> None:
+        """Rebuild the projection for a new surface aspect (the resize path,
+        state.rs surface reconfigure)."""
+        self.projection = perspective_infinite_rh(
+            np.deg2rad(self.fov), aspect_ratio)
+        self.inv_projection = np.linalg.inv(self.projection)
 
     # -- ray generation --
 

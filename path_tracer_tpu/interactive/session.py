@@ -100,6 +100,20 @@ class InteractiveRenderer:
         self.last_world_to_clip = np.asarray(self.camera.world_to_clip())
         self.sample += 1
 
+    def resize(self, width: int, height: int) -> None:
+        """Surface resize (state.rs:74-118 reconfigure): rebuild the
+        projection for the new aspect, drop the accumulation/id history
+        (stale reprojection sources), restart progressive sampling."""
+        if width == self.width and height == self.height:
+            return
+        self.width, self.height = width, height
+        self.camera.set_aspect(width / height)
+        self.accumulation = jnp.zeros((height, width, 4), jnp.float32)
+        self.ids = jnp.zeros((height, width), jnp.uint32)
+        self.sample = 0
+        self.last_world_to_clip = np.asarray(self.camera.world_to_clip())
+        self._camera_moved = False
+
     def display(self) -> np.ndarray:
         """Tonemapped [H,W,3] frame in [0,1], image-row order (top first)."""
         return np.asarray(taa.display_frame(self.accumulation))[::-1]

@@ -91,6 +91,11 @@ def make_server(renderer, host: str = "127.0.0.1", port: int = 8642,
                 with lock:
                     renderer.mouse(f("dx"), f("dy"), f("dt", 1.0 / 60.0))
                 self._ok("text/plain", b"ok")
+            elif u.path == "/resize":
+                with lock:
+                    renderer.resize(int(f("w", renderer.width)),
+                                    int(f("h", renderer.height)))
+                self._ok("text/plain", b"ok")
             elif u.path == "/frame.png":
                 from PIL import Image
 

@@ -152,3 +152,25 @@ def test_http_live_view_stream_and_input():
         assert still.shape == (32, 32, 3)
     finally:
         srv.shutdown()
+
+
+def test_resize_reconfigures_surface():
+    """Resize drops stale history, restarts sampling, and reshapes every
+    buffer + the projection aspect (state.rs reconfigure semantics)."""
+    scene_host, cam = scenes.cornell_diffuse()
+    r = InteractiveRenderer(scene_host, cam, 32, 32, max_bounces=4)
+    r.frame()
+    assert r.sample == 1
+    proj_before = r.camera.projection.copy()
+    r.resize(48, 24)
+    assert r.accumulation.shape == (24, 48, 4)
+    assert r.ids.shape == (24, 48)
+    assert r.sample == 0
+    assert not np.allclose(r.camera.projection, proj_before)  # new aspect
+    r.frame()
+    img = r.display()
+    assert img.shape == (24, 48, 3)
+    assert np.isfinite(img).all()
+    # no-op resize keeps history
+    r.resize(48, 24)
+    assert r.sample == 1
