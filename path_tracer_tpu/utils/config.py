@@ -132,4 +132,4 @@ def load_scene_json(path):
             models.append(Model(material, matrices=matrices, positions=pos, normals=nrm))
 
     env = load_image(desc["env"]) if desc.get("env") else None
-    return Scene(models, env=env)
+    return Scene(models, env=env, two_level=desc.get("two_level", False))
