@@ -53,6 +53,8 @@ def main():
         kw = dict(
             max_bounces=args.max_bounces, mtypes=scene_host.active_mtypes,
             any_volumes=scene_host.has_volumes,
+            has_lights=scene_host.has_lights,
+            enable_nee=scene_host.has_lights,
         )
 
         # the TPU tunnel faults transiently; retry each config independently
