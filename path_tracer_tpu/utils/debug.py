@@ -108,3 +108,40 @@ def debug_render(scene_host, camera, width, height, spp=1, **kw):
         [rad, jnp.full((rad.shape[0], 1), spp, jnp.float32)], axis=1
     ).reshape(height, width, 4)
     return film
+
+
+def validate_walk_engine(eng, num_tris: int) -> None:
+    """Structural invariants of a packed walk/iwalk engine (host numpy or
+    device dict; multi-part engines validate every part). Debug-assert
+    analog for the chunk-table engines (trace/walk.py, trace/iwalk.py)."""
+    import numpy as np
+
+    def a(x):
+        return np.asarray(x)
+
+    parts = eng.get("parts") or (eng,)
+    for pi, part in enumerate(parts):
+        w = a(part["w"])
+        _check(bool(np.isfinite(w).all()), f"part {pi}: non-finite plane table")
+        k = w.shape[1] // 256
+        cb = a(part["cb_oct"])
+        ords = a(part["ord_oct"])
+        for o in range(8):
+            lo, hi = cb[o, 0:3], cb[o, 3:6]
+            real = (lo < 1.0e30).all(axis=0)
+            _check(bool((lo[:, real] <= hi[:, real] + 1e-5).all()),
+                   f"part {pi} octant {o}: gate box min > max")
+            ent = ords[o][: int(real.sum())]
+            _check(len(np.unique(ent)) == len(ent),
+                   f"part {pi} octant {o}: duplicate visit entries")
+            _check(bool((ords[o] >= 0).all()) and bool((ords[o] < max(k, ords[o].max() + 1)).all()),
+                   f"part {pi} octant {o}: visit index out of range")
+        if "inst_c" in part:
+            ic = a(part["inst_c"])
+            _check(bool((ic[:, 0] <= ic[:, 1]).all()) and bool((ic >= 0).all())
+                   and bool((ic[:, 1] <= k).all()),
+                   f"part {pi}: instance chunk ranges out of bounds")
+    om = a(eng["origmap"])
+    _check(bool((om >= 0).all()) and bool((om < num_tris).all()),
+           "origmap outside the triangle soup")
+    _check(bool(np.isfinite(a(eng["aux"])).all()), "non-finite aux rows")

@@ -230,3 +230,13 @@ def test_sort_disabled_matches(soup):
         walk.WALK_SORT = old
     assert (np.asarray(bi_a) == np.asarray(bi_b)).all()
     np.testing.assert_array_equal(np.asarray(bt_a), np.asarray(bt_b))
+
+
+def test_walk_engine_validator(soup, parts_soup):
+    from path_tracer_tpu.utils.debug import validate_walk_engine
+
+    eng, tri, _, _ = soup
+    t = tri["d0"].shape[0]
+    validate_walk_engine(eng, t)
+    eng_p, tri_p, _, _ = parts_soup
+    validate_walk_engine(eng_p, tri_p["d0"].shape[0])
