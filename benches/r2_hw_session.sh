@@ -38,5 +38,9 @@ run ab_nosort env PT_WALK_SORT=0 python benches/bench_all.py --size 512 --spp 16
 # 5. interactive loop
 run fps python benches/interactive_fps.py --frames 48
 
+# 5b. walk phase breakdown (sort/mask/kernel split + visit efficiency)
+run profile_walk python benches/profile_walk.py --scene mesh
+run profile_walk_dragon python benches/profile_walk.py --scene dragon
+
 # 6. quality harness (the slow one — run last)
 run quality python benches/quality.py --spp 256 --size 128
