@@ -79,6 +79,39 @@ def main():
     )
 
 
+def wait_for_device(budget_s: float = 1800.0, probe_timeout_s: float = 120.0) -> bool:
+    """The axon TPU tunnel can wedge so hard that backend init hangs forever
+    in-process (observed ≥11 h, 2026-08-17) — and a hung init never recovers
+    even after the tunnel does. Probe in fresh subprocesses instead: each
+    attempt re-dials the tunnel, so this latches onto recovery the moment it
+    happens. Returns True when a probe saw devices; after ``budget_s`` gives
+    up and returns False (caller proceeds and fails loudly rather than
+    silently hanging). PT_BENCH_PROBE_BUDGET overrides the budget (0 skips)."""
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    budget_s = float(os.environ.get("PT_BENCH_PROBE_BUDGET", budget_s))
+    deadline = _time.monotonic() + budget_s
+    first = True
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                check=True, timeout=probe_timeout_s, capture_output=True,
+            )
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if _time.monotonic() >= deadline:
+                return False
+            if first:
+                print("# device probe failed (tunnel wedged?); retrying until "
+                      f"budget {budget_s:.0f}s", flush=True)
+                first = False
+            _time.sleep(30)
+
+
 def main_with_retries(attempts: int = 5, backoff_s: float = 120.0):
     """The TPU tunnel in this environment faults transiently (device errors
     that clear after a cool-down); retry so a single fault doesn't zero the
@@ -97,4 +130,5 @@ def main_with_retries(attempts: int = 5, backoff_s: float = 120.0):
 
 
 if __name__ == "__main__":
+    wait_for_device()
     main_with_retries()
