@@ -19,6 +19,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <numeric>
+#include <thread>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -152,13 +154,34 @@ struct Node {
   int64_t a, b;  // leaf: (start,count); internal: (left,right) node ids
 };
 
+// Thread budget for the parallel builders. PT_NATIVE_THREADS overrides
+// std::thread::hardware_concurrency(); subtree tasks below
+// PT_NATIVE_PAR_MIN primitives (default 65536) build serially.
+static int num_threads() {
+  const char *e = std::getenv("PT_NATIVE_THREADS");
+  if (e && *e) {
+    int v = std::atoi(e);
+    return v > 0 ? v : 1;
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  return hw > 0 ? (int)hw : 1;
+}
+
+static int64_t parallel_min() {
+  const char *e = std::getenv("PT_NATIVE_PAR_MIN");
+  if (e && *e) {
+    int64_t v = std::atoll(e);
+    return v > 0 ? v : 1;
+  }
+  return 65536;
+}
+
 struct Builder {
   const float *bbmin, *bbmax;
   int64_t max_leaf;
-  std::vector<int64_t> perm;
+  int64_t *perm;                 // shared primitive permutation (global ids)
   std::vector<Node> nodes;
-  std::vector<Box> boxes;        // scratch: boxes in perm order for a range
-  std::vector<Box> suffix;       // suffix accumulations
+  std::vector<Box> suffix;       // suffix accumulations (per-builder scratch)
 
   Box prim_box(int64_t id) const {
     Box b;
@@ -169,16 +192,18 @@ struct Builder {
     return b;
   }
 
-  int64_t build(int64_t start, int64_t end) {
+  // The single split decision, shared verbatim between the serial recursion
+  // and the parallel top-level frontier so both produce identical trees.
+  // Computes the range's bounds into node_box; returns -1 when the range
+  // must become a leaf, else the split offset (left = [start, start+j)).
+  // Side effect (same as the serial algorithm): stable-sorts perm[start,end)
+  // by AABB min along the chosen axis.
+  int64_t decide_split(int64_t start, int64_t end, Box &node_box) {
     int64_t span = end - start;
-    Box node_box;
     node_box.reset();
     for (int64_t i = start; i < end; i++) node_box.grow(prim_box(perm[i]));
 
-    if (span == 1) {
-      nodes.push_back({node_box, true, start, 1});
-      return (int64_t)nodes.size() - 1;
-    }
+    if (span == 1) return -1;
 
     // longest axis of node bounds (blas_bvh.rs:82)
     int axis = 0;
@@ -193,13 +218,11 @@ struct Builder {
 
     // stable sort by AABB min along the axis (glidesort / stable argsort)
     std::stable_sort(
-        perm.begin() + start, perm.begin() + end,
+        perm + start, perm + end,
         [&](int64_t a, int64_t b) { return bbmin[a * 3 + axis] < bbmin[b * 3 + axis]; });
 
     // equal-count candidate splits (blas_bvh.rs:93-110)
     int64_t bin_size = std::max<int64_t>(span / kDesiredBins, 1);
-    int64_t num_bins = span / bin_size - 1;
-    if (num_bins <= 0) num_bins = 1;
 
     suffix.resize(span);
     Box acc;
@@ -239,17 +262,129 @@ struct Builder {
     }
 
     double no_split_sah = (double)kIntersectionCost * (double)span;
-    if (no_split_sah < best_sah && span <= max_leaf) {
-      nodes.push_back({node_box, true, start, span});
+    if (no_split_sah < best_sah && span <= max_leaf) return -1;
+    return best_split;
+  }
+
+  int64_t build(int64_t start, int64_t end) {
+    Box node_box;
+    int64_t split = decide_split(start, end, node_box);
+    if (split < 0) {
+      nodes.push_back({node_box, true, start, end - start});
       return (int64_t)nodes.size() - 1;
     }
-
-    int64_t left = build(start, start + best_split);
-    int64_t right = build(start + best_split, end);
+    int64_t left = build(start, start + split);
+    int64_t right = build(start + split, end);
     nodes.push_back({node_box, false, left, right});
     return (int64_t)nodes.size() - 1;
   }
 };
+
+// Parallel build: split the top of the tree serially (identical decisions —
+// decide_split depends only on its own range) until there are enough
+// independent subtree ranges, build each range in its own thread + node
+// arena, then merge arenas with an index fixup. The output tree topology is
+// bit-identical to the serial build; only internal node *ids* differ, which
+// the DFS FlatWriter erases.
+static int64_t build_toplevel(Builder &b, int64_t n) {
+  int nthreads = num_threads();
+  int64_t par_min = parallel_min();
+  if (nthreads <= 1 || n < par_min) return b.build(0, n);
+
+  // phase-1 tree over ranges: kind 0 = internal, 1 = leaf, 2 = pending task
+  struct PN {
+    Box box;
+    int kind;
+    int64_t a, c;  // internal: PN ids; leaf: (start,span); task: (start,end)
+  };
+  std::vector<PN> pns;
+  pns.push_back({{}, 2, 0, n});
+  std::vector<size_t> frontier{0};
+  size_t target = (size_t)nthreads * 4;
+  while (frontier.size() < target) {
+    // split the largest pending range (order does not affect the result)
+    size_t pick = 0;
+    int64_t best_span = -1;
+    for (size_t f = 0; f < frontier.size(); f++) {
+      PN &p = pns[frontier[f]];
+      int64_t span = p.c - p.a;
+      if (span > best_span && span >= par_min) {
+        best_span = span;
+        pick = f;
+      }
+    }
+    if (best_span < 0) break;  // nothing left worth splitting
+    size_t id = frontier[pick];
+    frontier[pick] = frontier.back();
+    frontier.pop_back();
+    int64_t start = pns[id].a, end = pns[id].c;
+    Box node_box;
+    int64_t split = b.decide_split(start, end, node_box);
+    if (split < 0) {
+      pns[id] = {node_box, 1, start, end - start};
+      continue;
+    }
+    size_t left = pns.size();
+    pns.push_back({{}, 2, start, start + split});
+    size_t right = pns.size();
+    pns.push_back({{}, 2, start + split, end});
+    pns[id] = {node_box, 0, (int64_t)left, (int64_t)right};
+    frontier.push_back(left);
+    frontier.push_back(right);
+  }
+
+  // phase 2: build every pending task range in parallel, own arena each
+  std::vector<size_t> tasks;
+  for (size_t i = 0; i < pns.size(); i++)
+    if (pns[i].kind == 2) tasks.push_back(i);
+  std::vector<Builder> arenas(tasks.size());
+  std::vector<int64_t> local_roots(tasks.size());
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nthreads; t++) {
+    pool.emplace_back([&, t]() {
+      for (size_t k = (size_t)t; k < tasks.size(); k += (size_t)nthreads) {
+        Builder &lb = arenas[k];
+        lb.bbmin = b.bbmin;
+        lb.bbmax = b.bbmax;
+        lb.max_leaf = b.max_leaf;
+        lb.perm = b.perm;  // disjoint ranges: no sharing hazard
+        local_roots[k] = lb.build(pns[tasks[k]].a, pns[tasks[k]].c);
+      }
+    });
+  }
+  for (auto &th : pool) th.join();
+
+  // phase 3: merge arenas into b.nodes with child-id fixup
+  std::vector<int64_t> task_root_global(pns.size(), -1);
+  for (size_t k = 0; k < tasks.size(); k++) {
+    int64_t base = (int64_t)b.nodes.size();
+    for (const Node &nd : arenas[k].nodes)
+      b.nodes.push_back(nd.leaf ? nd : Node{nd.box, false, nd.a + base, nd.b + base});
+    task_root_global[tasks[k]] = base + local_roots[k];
+  }
+  // emit the phase-1 top nodes (iterative post-order over the PN tree)
+  std::vector<int64_t> pn_global(pns.size(), -1);
+  std::vector<std::pair<size_t, bool>> stack{{0, false}};
+  while (!stack.empty()) {
+    auto [id, expanded] = stack.back();
+    stack.pop_back();
+    const PN &p = pns[id];
+    if (p.kind == 2) {
+      pn_global[id] = task_root_global[id];
+    } else if (p.kind == 1) {
+      b.nodes.push_back({p.box, true, p.a, p.c});
+      pn_global[id] = (int64_t)b.nodes.size() - 1;
+    } else if (!expanded) {
+      stack.push_back({id, true});
+      stack.push_back({(size_t)p.a, false});
+      stack.push_back({(size_t)p.c, false});
+    } else {
+      b.nodes.push_back({p.box, false, pn_global[(size_t)p.a], pn_global[(size_t)p.c]});
+      pn_global[id] = (int64_t)b.nodes.size() - 1;
+    }
+  }
+  return pn_global[0];
+}
 
 struct FlatWriter {
   // SoA flat records matching scene/bvh.py flatten()
@@ -325,14 +460,15 @@ int64_t bvh_build(const float *bbmin, const float *bbmax, int64_t n, int64_t max
                   float **c1_max, int32_t **c0_idx, int32_t **c0_count, int32_t **c1_idx,
                   int32_t **c1_count, int64_t *out_depth) {
   if (n <= 0) return -1;
+  std::vector<int64_t> perm_store((size_t)n);
+  std::iota(perm_store.begin(), perm_store.end(), 0);
   Builder b;
   b.bbmin = bbmin;
   b.bbmax = bbmax;
   b.max_leaf = max_leaf;
-  b.perm.resize(n);
-  std::iota(b.perm.begin(), b.perm.end(), 0);
+  b.perm = perm_store.data();
   b.nodes.reserve((size_t)(2 * n));
-  int64_t root = b.build(0, n);
+  int64_t root = build_toplevel(b, n);
   *out_depth = depth_of(b.nodes, root);
 
   FlatWriter w;
@@ -368,7 +504,7 @@ int64_t bvh_build(const float *bbmin, const float *bbmax, int64_t n, int64_t max
     return p;
   };
   *out_perm = (int64_t *)std::malloc((size_t)n * sizeof(int64_t));
-  std::memcpy(*out_perm, b.perm.data(), (size_t)n * sizeof(int64_t));
+  std::memcpy(*out_perm, perm_store.data(), (size_t)n * sizeof(int64_t));
   *c0_min = copy_f(w.c0_min);
   *c0_max = copy_f(w.c0_max);
   *c1_min = copy_f(w.c1_min);
@@ -391,8 +527,6 @@ int64_t chunk_build(const float *bbmin, const float *bbmax, int64_t n,
   if (n <= 0 || chunk <= 0) return -1;
   std::vector<int64_t> perm((size_t)n);
   std::iota(perm.begin(), perm.end(), 0);
-  std::vector<int64_t> starts, spans;
-  std::vector<float> suf_sa;
   auto prim_box = [&](int64_t id) {
     Box b;
     for (int i = 0; i < 3; i++) {
@@ -401,21 +535,18 @@ int64_t chunk_build(const float *bbmin, const float *bbmax, int64_t n,
     }
     return b;
   };
-  // explicit DFS stack, left pushed last -> leaves in left-first order
-  std::vector<std::pair<int64_t, int64_t>> stack{{0, n}};
-  while (!stack.empty()) {
-    auto [start, end] = stack.back();
-    stack.pop_back();
+
+  // One split step on perm[start,end): first-max axis (np.argmax semantics),
+  // stable sort, binned equal-count SAH (double from f32 areas — NEP-50
+  // promotion parity with the NumPy splitter; strict < keeps the FIRST
+  // minimum, np.argmin). Depends only on its own range, so the serial DFS
+  // and the parallel frontier make identical decisions. suf_sa is caller
+  // scratch (one per thread).
+  auto split_once = [&](int64_t start, int64_t end, std::vector<float> &suf_sa) {
     int64_t span = end - start;
-    if (span <= chunk) {
-      starts.push_back(start);
-      spans.push_back(span);
-      continue;
-    }
     Box nb;
     nb.reset();
     for (int64_t i = start; i < end; i++) nb.grow(prim_box(perm[(size_t)i]));
-    // first-max axis (np.argmax semantics)
     int axis = 0;
     float best_len = nb.mx[0] - nb.mn[0];
     for (int i = 1; i < 3; i++) {
@@ -431,42 +562,106 @@ int64_t chunk_build(const float *bbmin, const float *bbmax, int64_t n,
                      });
     int64_t bin_size = std::max<int64_t>(span / kDesiredBins, 1);
     int64_t num_bins = span / bin_size - 1;
-    int64_t best_split;
-    if (num_bins <= 0) {
-      best_split = std::max<int64_t>(span / 2, 1);
-    } else {
-      suf_sa.resize((size_t)span);
-      Box acc;
-      acc.reset();
-      for (int64_t i = span - 1; i >= 0; i--) {
-        acc.grow(prim_box(perm[(size_t)(start + i)]));
-        suf_sa[(size_t)i] = acc.sa();
+    if (num_bins <= 0) return std::max<int64_t>(span / 2, 1);
+    suf_sa.resize((size_t)span);
+    Box acc;
+    acc.reset();
+    for (int64_t i = span - 1; i >= 0; i--) {
+      acc.grow(prim_box(perm[(size_t)(start + i)]));
+      suf_sa[(size_t)i] = acc.sa();
+    }
+    double best = INFINITY;
+    int64_t best_split = -1;
+    Box pre;
+    pre.reset();
+    int64_t next = bin_size, used = 0;
+    for (int64_t j = 1; j < span && used < num_bins; j++) {
+      pre.grow(prim_box(perm[(size_t)(start + j - 1)]));
+      if (j == next) {
+        double sah = (double)j * (double)pre.sa() +
+                     (double)(span - j) * (double)suf_sa[(size_t)j];
+        if (sah < best) {
+          best = sah;
+          best_split = j;
+        }
+        used++;
+        next += bin_size;
       }
-      // candidates js = (i+1)*bin_size clipped below span; SAH in double
-      // from f32 areas (NEP-50 promotion parity with the NumPy splitter);
-      // strict < keeps the FIRST minimum (np.argmin)
-      double best = INFINITY;
-      best_split = -1;
-      Box pre;
-      pre.reset();
-      int64_t next = bin_size, used = 0;
-      for (int64_t j = 1; j < span && used < num_bins; j++) {
-        pre.grow(prim_box(perm[(size_t)(start + j - 1)]));
-        if (j == next) {
-          double sah = (double)j * (double)pre.sa() +
-                       (double)(span - j) * (double)suf_sa[(size_t)j];
-          if (sah < best) {
-            best = sah;
-            best_split = j;
-          }
-          used++;
-          next += bin_size;
+    }
+    if (best_split < 0) best_split = std::max<int64_t>(span / 2, 1);
+    return best_split;
+  };
+
+  // Serial DFS over one range (left pushed last -> leaves in left-first
+  // order). Because leaf ranges are contiguous intervals partitioning the
+  // range, left-first DFS order == ascending start order — which is what
+  // lets independent subtree results concatenate by start below.
+  auto dfs = [&](int64_t start0, int64_t end0, std::vector<int64_t> &starts,
+                 std::vector<int64_t> &spans, std::vector<float> &suf_sa) {
+    std::vector<std::pair<int64_t, int64_t>> stack{{start0, end0}};
+    while (!stack.empty()) {
+      auto [start, end] = stack.back();
+      stack.pop_back();
+      int64_t span = end - start;
+      if (span <= chunk) {
+        starts.push_back(start);
+        spans.push_back(span);
+        continue;
+      }
+      int64_t best_split = split_once(start, end, suf_sa);
+      stack.push_back({start + best_split, end});  // right (popped second)
+      stack.push_back({start, start + best_split});  // left (popped first)
+    }
+  };
+
+  std::vector<int64_t> starts, spans;
+  int nthreads = num_threads();
+  if (nthreads <= 1 || n < parallel_min()) {
+    std::vector<float> suf_sa;
+    dfs(0, n, starts, spans, suf_sa);
+  } else {
+    // phase 1: serial frontier, splitting the largest range first
+    std::vector<std::pair<int64_t, int64_t>> tasks{{0, n}};
+    std::vector<float> suf_sa;
+    size_t target = (size_t)nthreads * 4;
+    while (tasks.size() < target) {
+      size_t pick = tasks.size();
+      int64_t best_span = -1;
+      for (size_t i = 0; i < tasks.size(); i++) {
+        int64_t span = tasks[i].second - tasks[i].first;
+        if (span > best_span && span > chunk && span >= parallel_min()) {
+          best_span = span;
+          pick = i;
         }
       }
-      if (best_split < 0) best_split = std::max<int64_t>(span / 2, 1);
+      if (pick == tasks.size()) break;  // nothing left worth splitting
+      auto [start, end] = tasks[pick];
+      tasks[pick] = tasks.back();
+      tasks.pop_back();
+      int64_t best_split = split_once(start, end, suf_sa);
+      tasks.push_back({start, start + best_split});
+      tasks.push_back({start + best_split, end});
     }
-    stack.push_back({start + best_split, end});  // right (popped second)
-    stack.push_back({start, start + best_split});  // left (popped first)
+    // phase 2: each task range runs the serial DFS in parallel
+    std::vector<std::vector<int64_t>> t_starts(tasks.size()), t_spans(tasks.size());
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; t++) {
+      pool.emplace_back([&, t]() {
+        std::vector<float> scratch;
+        for (size_t k = (size_t)t; k < tasks.size(); k += (size_t)nthreads)
+          dfs(tasks[k].first, tasks[k].second, t_starts[k], t_spans[k], scratch);
+      });
+    }
+    for (auto &th : pool) th.join();
+    // phase 3: concatenate segments in ascending start order (== DFS order)
+    std::vector<size_t> order(tasks.size());
+    std::iota(order.begin(), order.end(), 0);
+    std::sort(order.begin(), order.end(),
+              [&](size_t a, size_t b) { return tasks[a].first < tasks[b].first; });
+    for (size_t k : order) {
+      starts.insert(starts.end(), t_starts[k].begin(), t_starts[k].end());
+      spans.insert(spans.end(), t_spans[k].begin(), t_spans[k].end());
+    }
   }
   int64_t k = (int64_t)starts.size();
   *out_perm = (int64_t *)std::malloc((size_t)n * sizeof(int64_t));

@@ -31,7 +31,7 @@ def _build() -> bool:
     os.makedirs(_LIB_DIR, exist_ok=True)
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return True
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread", _SRC, "-o", _LIB]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True

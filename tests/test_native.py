@@ -85,3 +85,36 @@ def test_native_chunk_partition_bit_identical():
         np.testing.assert_array_equal(s_n, s_p)
         np.testing.assert_array_equal(sp_n, sp_p)
         assert (sp_n <= cap).all() and sp_n.sum() == pos.shape[0]
+
+
+def test_parallel_build_bit_identical(monkeypatch):
+    """The threaded builders (PT_NATIVE_THREADS>1) must produce EXACTLY the
+    serial output: the parallel top-level makes the same split decisions
+    (decide_split depends only on its own range) and the DFS flattener erases
+    arena ordering. Forced small PT_NATIVE_PAR_MIN so the parallel path runs
+    even at test scale."""
+    from path_tracer_tpu import native
+    from path_tracer_tpu.scene import triangle, procedural
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    pos, _ = procedural.bumpy_sphere(nu=96, nv=96)  # ~18K tris
+    bmin, bmax = triangle.aabbs(pos)
+
+    monkeypatch.setenv("PT_NATIVE_THREADS", "1")
+    f1, p1, d1 = native.build_bvh(bmin, bmax, max_leaf=4)
+    c1 = native.chunk_partition(bmin, bmax, 2048)
+
+    monkeypatch.setenv("PT_NATIVE_THREADS", "5")
+    monkeypatch.setenv("PT_NATIVE_PAR_MIN", "512")
+    f5, p5, d5 = native.build_bvh(bmin, bmax, max_leaf=4)
+    c5 = native.chunk_partition(bmin, bmax, 2048)
+
+    np.testing.assert_array_equal(p1, p5)
+    assert d1 == d5
+    for key in f1:
+        np.testing.assert_array_equal(f1[key], f5[key], err_msg=key)
+    for a, b in zip(c1, c5):
+        np.testing.assert_array_equal(a, b)
