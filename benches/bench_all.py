@@ -22,14 +22,11 @@ def main():
     ap.add_argument("--extended", action="store_true",
                     help="also bench dragon_scene (885K tris, multi-part "
                          "walk) and env_sphere_scene at a 4K-class env map")
+    ap.add_argument("--only", default=None,
+                    help="bench a single config by name (cheap knob A/Bs); "
+                         "implies --extended availability for dragon_scene/"
+                         "env_sphere_4k")
     args = ap.parse_args()
-
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-
-    from path_tracer_tpu import scenes
-    from path_tracer_tpu.integrator.wavefront import render_film
 
     names = [
         "cornell_diffuse", "cornell_specular", "cornell_volume",
@@ -40,6 +37,20 @@ def main():
         # (main.rs:75): dragon-class soup through the multi-part walk
         # engine and the equirect miss shader at full table size
         names += ["dragon_scene", "env_sphere_4k"]
+    if args.only:
+        allowed = names + ["dragon_scene", "env_sphere_4k"]
+        if args.only not in allowed:
+            # validated BEFORE the jax/package imports: importing the
+            # package initializes the backend, which needs a live tunnel
+            raise SystemExit(f"unknown config {args.only!r}; choose from {allowed}")
+        names = [args.only]
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.integrator.wavefront import render_film
 
     def env_sphere_4k(aspect=1.0):
         return scenes.env_sphere_scene(env_size=2048, aspect=aspect)

@@ -35,6 +35,9 @@ run twolevel_dragon python benches/bench_twolevel.py --scene dragon \
 run ab_walkmin env PT_WALK_MIN=0 python benches/bench_all.py --size 512 --spp 16
 run ab_nosort env PT_WALK_SORT=0 python benches/bench_all.py --size 512 --spp 16 --extended
 
+# 4d. env fetch A/B: quad table (default) vs four 3-wide gathers
+run ab_envplain env PT_ENV_QUAD=0 python benches/bench_all.py --size 512 --spp 16 --only env_sphere_4k
+
 # 5. interactive loop
 run fps python benches/interactive_fps.py --frames 48
 

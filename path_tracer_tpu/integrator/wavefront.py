@@ -619,7 +619,7 @@ def trace_lanes(
 
         # --- environment miss (integrator.rs:256-266) ---
         miss = alive & ~hit
-        env_rad = sample_environment(scene["env"], d)
+        env_rad = sample_environment(scene["env"], d, scene.get("env_quad"))
         radiance = jnp.where(miss[:, None], radiance + env_rad * throughput, radiance)
 
         # --- advance lanes ---

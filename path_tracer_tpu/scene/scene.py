@@ -160,6 +160,18 @@ class Scene:
             "mat": up(self.mat),
             "env": jnp.asarray(self.env),
         }
+        # Large equirects fetch their bilinear footprint as ONE 12-wide row
+        # gather instead of four 3-wide ones (bit-identical result, 4x HBM
+        # footprint — see envmap.build_quad_table). PT_ENV_QUAD=0 reverts;
+        # small envs keep the plain path (gathers there are already cheap
+        # and the threshold keeps tests/tiny scenes lean).
+        import os as _os
+
+        h_env, w_env = self.env.shape[0], self.env.shape[1]
+        if h_env * w_env >= 65536 and _os.environ.get("PT_ENV_QUAD", "1") != "0":
+            from path_tracer_tpu.scene.envmap import build_quad_table
+
+            data["env_quad"] = jnp.asarray(build_quad_table(self.env))
         data["bvh"]["packed"] = jnp.asarray(pack_bvh(self.bvh))
         data["tri"]["packed"] = jnp.asarray(pack_tris(self.tri))
         # Single-gather auxiliary tables for the shading stage
