@@ -52,10 +52,12 @@ def main():
     from path_tracer_tpu.scene import procedural, triangle
     from path_tracer_tpu.trace import walk
 
+    from path_tracer_tpu.utils.disk_cache import cached_arrays
+
     if args.scene == "dragon":
-        pos, nrm = procedural.knot(scale=42.0)  # ~885K tris
+        pos, nrm = cached_arrays(procedural.knot, scale=42.0)  # ~885K tris
     else:
-        pos, nrm = procedural.bumpy_sphere(nu=192, nv=192)  # ~74K tris
+        pos, nrm = cached_arrays(procedural.bumpy_sphere, nu=192, nv=192)  # ~74K tris
     t = pos.shape[0]
     tri = triangle.precompute(pos)
     packer = (walk.pack_walk if t <= walk.WALK_MAX_TRIS

@@ -36,13 +36,13 @@ def precompute(positions: np.ndarray) -> dict[str, np.ndarray]:
     d2 = -np.sum(n2 * a, axis=-1)
 
     return {
-        "n0": n0.astype(np.float32),
-        "d0": d0.astype(np.float32),
-        "n1": n1.astype(np.float32),
-        "d1": d1.astype(np.float32),
-        "n2": n2.astype(np.float32),
-        "d2": d2.astype(np.float32),
-        "area": (0.5 * np.sqrt(np.sum(n0 * n0, axis=-1))).astype(np.float32),
+        "n0": n0.astype(np.float32, copy=False),
+        "d0": d0.astype(np.float32, copy=False),
+        "n1": n1.astype(np.float32, copy=False),
+        "d1": d1.astype(np.float32, copy=False),
+        "n2": n2.astype(np.float32, copy=False),
+        "d2": d2.astype(np.float32, copy=False),
+        "area": (0.5 * np.sqrt(np.sum(n0 * n0, axis=-1))).astype(np.float32, copy=False),
     }
 
 
@@ -57,5 +57,12 @@ def transform(positions: np.ndarray, normals: np.ndarray, matrix: np.ndarray):
     The reference asserts instance matrices are scale-free (``model.rs:43``),
     so normals transform with the rotation part directly.
     """
-    rot, tr = matrix[:, :3], matrix[:, 3]
-    return (positions @ rot.T + tr).astype(np.float32), (normals @ rot.T).astype(np.float32)
+    # f32 throughout: instance matrices arrive as float64 python-built
+    # arrays, and f32 @ f64 promotes the whole 8M-vertex matmul to f64
+    # (measured ~10 s of the dragon bake) — the reference's glam math is
+    # f32 anyway (model.rs:43 transforms in f32)
+    rot = np.asarray(matrix[:, :3], np.float32)
+    tr = np.asarray(matrix[:, 3], np.float32)
+    pos32 = positions.astype(np.float32, copy=False)
+    nrm32 = normals.astype(np.float32, copy=False)
+    return pos32 @ rot.T + tr, nrm32 @ rot.T

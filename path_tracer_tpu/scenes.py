@@ -153,13 +153,17 @@ def dragon_scene(nu: int = 768, nv: int = 288, env_h: int = 2048,
     models = _cornell_shell()
     vol = Volume(absorption=(0.4, 0.62, 0.7), k=0.1, c=1.0 / 200.0, g=0.6)
     glass = GGXDielectric((0.95, 0.95, 0.95), 0.2, 1.5, vol)
-    p, n = procedural.knot(scale=42.0, nu=nu, nv=nv)
+    # knot gen + sky gen cost tens of seconds each at this scale and are
+    # pure functions of their args — memoized on disk (source-hash keyed)
+    from path_tracer_tpu.utils.disk_cache import cached_arrays
+
+    p, n = cached_arrays(procedural.knot, scale=42.0, nu=nu, nv=nv)
     mats = [
         rigid_transform(rotation_y(0.7), (-120.0, 160.0, -20.0)),
         rigid_transform(rotation_y(2.3), (130.0, 390.0, 40.0)),
     ]
     models.append(Model(glass, matrices=mats, positions=p, normals=n))
-    env = procedural_sky(env_h)
+    env = cached_arrays(procedural_sky, env_h)
     return Scene(models, env=env), cornell_camera(aspect)
 
 
