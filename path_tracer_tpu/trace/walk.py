@@ -878,14 +878,31 @@ def _spread2(x):
     return x
 
 
+_KEY_OBITS = max(0, min(15, int(_os.environ.get("PT_WALK_KEY_OBITS", "15"))))
+
+
 def _coherence_order(eng, origin, direction, t_limit):
-    """Sort key, 32 bits: direction octant (3) | origin morton (15: 5/axis)
-    | direction-octahedral morton (14: 7+7). Shared-origin bundles (camera,
-    point-light shadows) collapse to one origin cell, so the key MUST keep
-    sorting on direction below it — block frustum tightness is the whole
-    game. Invalid lanes sort to the back (their blocks gate nothing in)."""
+    """Sort key, 32 bits: direction octant (3) | origin morton
+    (PT_WALK_KEY_OBITS, default 15: 5/axis) | direction-octahedral morton
+    (14: 7+7). Shared-origin bundles (camera, point-light shadows) collapse
+    to one origin cell, so the key MUST keep sorting on direction below it —
+    block frustum tightness is the whole game. PT_WALK_KEY_OBITS trades
+    origin-cell tightness against direction-cone tightness for bounce-ray
+    batches (hardware A/B). Invalid lanes sort to the back (their blocks
+    gate nothing in)."""
     q = jnp.clip((origin - eng["sort_lo"]) * eng["sort_scale"], 0.0, 1.0)
-    cell = (q * 31.0).astype(jnp.uint32)
+    # per-axis bits: ceil/floor split of OBITS over (x, y, z)
+    bx = (_KEY_OBITS + 2) // 3
+    by = (_KEY_OBITS + 1) // 3
+    bz = _KEY_OBITS // 3
+    cell = jnp.stack(
+        [
+            (q[:, 0] * ((1 << bx) - 1)).astype(jnp.uint32),
+            (q[:, 1] * ((1 << by) - 1)).astype(jnp.uint32),
+            (q[:, 2] * ((1 << bz) - 1)).astype(jnp.uint32),
+        ],
+        axis=1,
+    )
     om = (
         (_spread3(cell[:, 0]) << 2)
         | (_spread3(cell[:, 1]) << 1)
@@ -1006,8 +1023,16 @@ def walk_closest_hit(eng: dict, origin, direction, t_limit):
 
 def walk_stats(eng: dict, origin, direction, t_limit, winup=True):
     """Observability: run the closest-hit kernel with counters and return
-    them — tested chunks and window-skipped entries (listed = sum). For a
-    multi-part engine, counters accumulate over the part loop."""
+    them — tested chunks and window-skipped entries (listed = sum). Applies
+    the SAME coherence sort as the public API (stats must reflect the real
+    visit pattern: unsorted blocks mix direction octants, degenerating the
+    gates and wildly overstating visits). For a multi-part engine, counters
+    accumulate over the part loop with the threaded t-window."""
+    if WALK_SORT:
+        order = _coherence_order(eng, origin, direction, t_limit)
+        origin, direction, t_limit = (
+            origin[order], direction[order], t_limit[order]
+        )
     if "parts" in eng:
         tot = {"listed": 0, "visits": 0, "skipped": 0}
         best_t = None
@@ -1023,11 +1048,6 @@ def walk_stats(eng: dict, origin, direction, t_limit, winup=True):
             tot["skipped"] += int(cnt[2])
         tot["listed"] = tot["visits"] + tot["skipped"]
         return tot
-    if WALK_SORT:
-        order = _coherence_order(eng, origin, direction, t_limit)
-        origin, direction, t_limit = (
-            origin[order], direction[order], t_limit[order]
-        )
     _, cnt = _walk_closest_call(
         eng, origin, direction, t_limit,
         _interpret_default(), winup=winup, counters=True,
