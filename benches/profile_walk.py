@@ -94,23 +94,40 @@ def main():
     d_inc /= np.linalg.norm(d_inc, axis=1, keepdims=True)
 
     lim = jnp.full(n, 3.0e38, jnp.float32)
+    # room-bounded bounce regime: in real scenes (Cornell shell around the
+    # dragon) every bounce ray hits SOMETHING — at latest the wall — so each
+    # lane's effective t is bounded along ITS ray. Model the wall hit as the
+    # exit distance from a room box 1.6x the mesh box (a uniform clamp would
+    # not shrink the block window: skips need the WORST lane bounded).
+    room_lo = ctr - 1.6 * ext
+    room_hi = ctr + 1.6 * ext
+    with np.errstate(divide="ignore"):
+        inv = np.where(d_inc == 0.0, np.inf, 1.0 / d_inc)
+    t1 = (room_lo - o_inc) * inv
+    t2 = (room_hi - o_inc) * inv
+    t_room = np.minimum(np.nan_to_num(np.maximum(t1, t2), posinf=3.0e38), 3.0e38).min(axis=1)
+    lim_room = jnp.asarray(np.maximum(t_room, 0.0).astype(np.float32))
 
     sort_j = jax.jit(walk._coherence_order)
     mask_j = jax.jit(walk._build_mask)
 
-    for name, o, d in (("camera", o_cam, d_cam), ("incoherent", o_inc, d_inc)):
+    for name, o, d, tl in (
+        ("camera", o_cam, d_cam, lim),
+        ("incoherent", o_inc, d_inc, lim),
+        ("bounce-room", o_inc, d_inc, lim_room),
+    ):
         o, d = jnp.asarray(o), jnp.asarray(d)
-        order = sort_j(eng, o, d, lim)
-        o_s, d_s, tl_s = o[order], d[order], lim[order]
+        order = sort_j(eng, o, d, tl)
+        o_s, d_s, tl_s = o[order], d[order], tl[order]
 
-        t_sort = timed(lambda: sort_j(eng, o, d, lim))
+        t_sort = timed(lambda: sort_j(eng, o, d, tl))
         t_mask = sum(
             timed(lambda p=p: mask_j(p, o_s, d_s, tl_s)) for p in parts
         )
         t_full = timed(
-            lambda: walk.walk_closest_hit(eng, o, d, lim)[1]
+            lambda: walk.walk_closest_hit(eng, o, d, tl)[1]
         )
-        stats = walk.walk_stats(eng, o, d, lim)
+        stats = walk.walk_stats(eng, o, d, tl)
         nb = -(-n // walk.SBLK)
         print(json.dumps({
             "scene": args.scene, "tris": t, "parts": len(parts),
