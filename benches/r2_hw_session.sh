@@ -42,8 +42,10 @@ run ab_envplain env PT_ENV_QUAD=0 python benches/bench_all.py --size 512 --spp 1
 run fps python benches/interactive_fps.py --frames 48
 
 # 5b. walk phase breakdown (sort/mask/kernel split + visit efficiency)
-run profile_walk python benches/profile_walk.py --scene mesh
-run profile_walk_dragon python benches/profile_walk.py --scene dragon
+run profile_walk python benches/profile_walk.py --scene mesh --rays 262144
+run profile_walk_dragon python benches/profile_walk.py --scene dragon --rays 262144
+# key-split A/B: origin-cell vs direction-cone tightness for bounce batches
+run ab_obits env PT_WALK_KEY_OBITS=9 python benches/profile_walk.py --scene dragon --rays 262144
 
 # 6. quality harness (the slow one — run last)
 run quality python benches/quality.py --spp 256 --size 128
