@@ -29,6 +29,9 @@ run twolevel python benches/bench_twolevel.py --spp 64
 # 4b. two-level dragon (shared BLAS, multi-part iwalk) at a modest slice
 run twolevel_dragon python benches/bench_twolevel.py --scene dragon \
     --width 512 --height 512 --spp 8
+# finer per-(instance, part) gating A/B (smaller parts = tighter culling)
+run ab_isplit env PT_IWALK_SPLIT=256 python benches/bench_twolevel.py \
+    --scene dragon --width 512 --height 512 --spp 8
 
 # 4c. A/B knobs on the mid-size configs (walk below the dense threshold;
 #     sort on/off) — cheap single-config runs

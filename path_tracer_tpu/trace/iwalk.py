@@ -145,10 +145,16 @@ def _aabb_corners_world(bb_min, bb_max, matrix):
     return world.min(axis=0), world.max(axis=0)
 
 
+import os as _os
+
 IWALK_PART_CHUNKS = 1536          # single-part chunk cap (VMEM, 12 MB)
-IWALK_SPLIT_CHUNKS = 768          # per-part chunks in multi-part mode
+# Per-part chunks in multi-part mode. Gating is per (instance, part): the
+# kernel walks EVERY clipped chunk of a gated-in instance brute-force, so
+# smaller parts = finer culling at the cost of more kernel launches —
+# PT_IWALK_SPLIT A/Bs the trade on hardware (two-level dragon regime).
+IWALK_SPLIT_CHUNKS = max(64, int(_os.environ.get("PT_IWALK_SPLIT", "768")))
 IWALK_MAX_PARTS = 16
-IWALK_MAX_TOTAL_CHUNKS = IWALK_MAX_PARTS * IWALK_SPLIT_CHUNKS
+IWALK_MAX_TOTAL_CHUNKS = 16 * 768  # engine capacity: independent of the knob
 
 
 def _inst_orders(ibmin, ibmax, n_inst):
