@@ -1,16 +1,16 @@
 #!/bin/bash
 # Round-2 hardware measurement session, in dependency order.
 # Run on the real TPU: bash benches/r2_hw_session.sh [outdir]
-set -u
+set -u -o pipefail
 OUT="${1:-/tmp/r2hw}"
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
 run() { # name, cmd...
   local name="$1"; shift
-  echo "=== $name ==="
+  echo "=== $name ($(date -u +%H:%M:%S)) ==="
   timeout 3000 "$@" 2>&1 | tee "$OUT/$name.log"
-  echo "rc=$? ($name)"
+  echo "rc=$? ($name)"   # pipefail: rc is the command's, not tee's
 }
 
 # 1. correctness gate — REQUIRED before any perf claim

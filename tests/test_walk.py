@@ -240,3 +240,23 @@ def test_walk_engine_validator(soup, parts_soup):
     validate_walk_engine(eng, t)
     eng_p, tri_p, _, _ = parts_soup
     validate_walk_engine(eng_p, tri_p["d0"].shape[0])
+
+
+@pytest.mark.parametrize("obits", [0, 9])
+def test_key_obits_invariance(soup, monkeypatch, obits):
+    """PT_WALK_KEY_OBITS only reshapes the coherence-sort key (origin-cell
+    vs direction-cone bits) — any value must leave results IDENTICAL; the
+    knob is a pure perf A/B (hardware session ab_obits row)."""
+    eng, tri, _, _ = soup
+    n = 256
+    o, d = _rays(n, seed=7)
+    tl = jnp.full((n,), 1e30, jnp.float32)
+    bi_a, bt_a, _, _ = walk.walk_closest_hit(eng, o, d, tl)
+    monkeypatch.setattr(walk, "_KEY_OBITS", obits)
+    bi_b, bt_b, _, _ = walk.walk_closest_hit(eng, o, d, tl)
+    assert (np.asarray(bi_a) == np.asarray(bi_b)).all()
+    np.testing.assert_array_equal(np.asarray(bt_a), np.asarray(bt_b))
+    a_a = walk.walk_any_hit(eng, o, d, jnp.asarray(np.asarray(bt_a) * 1.01))
+    monkeypatch.setattr(walk, "_KEY_OBITS", 15)
+    a_b = walk.walk_any_hit(eng, o, d, jnp.asarray(np.asarray(bt_a) * 1.01))
+    np.testing.assert_array_equal(np.asarray(a_a), np.asarray(a_b))
