@@ -10,11 +10,19 @@ run() { # name, cmd...
   local name="$1"; shift
   echo "=== $name ($(date -u +%H:%M:%S)) ==="
   timeout 3000 "$@" 2>&1 | tee "$OUT/$name.log"
-  echo "rc=$? ($name)"   # pipefail: rc is the command's, not tee's
+  local rc=$?            # pipefail: rc is the command's, not tee's
+  echo "rc=$rc ($name)"
+  return $rc
 }
 
-# 1. correctness gate — REQUIRED before any perf claim
-run oracle python benches/oracle_check.py
+# 1. correctness gate — REQUIRED before any perf claim. On failure, bisect
+#    the round-2 kernel knobs (hierarchical skips / layout gating) so the
+#    log shows WHICH path broke on real hardware.
+run oracle python benches/oracle_check.py || {
+  run oracle_noskip env PT_WALK_LSKIP=0 python benches/oracle_check.py
+  run oracle_legacy env PT_WALK_LSKIP=0 PT_WALK_MASK_LAYOUT=0 \
+      python benches/oracle_check.py
+}
 
 # 2. headline (driver metric)
 run headline python bench.py
@@ -26,11 +34,15 @@ run bench_all python benches/bench_all.py --size 512 --spp 16 --extended
 #    if time allows — rate is spp-invariant past a few waves)
 run twolevel python benches/bench_twolevel.py --spp 64
 
-# 4b. two-level dragon (shared BLAS, multi-part iwalk) at a modest slice
+# 4b. two-level dragon (shared BLAS, multi-part) at a modest slice —
+#     default engine is vwalk ((instance, chunk)-granular gated walk)
 run twolevel_dragon python benches/bench_twolevel.py --scene dragon \
     --width 512 --height 512 --spp 8
-# finer per-(instance, part) gating A/B (smaller parts = tighter culling)
-run ab_isplit env PT_IWALK_SPLIT=256 python benches/bench_twolevel.py \
+# engine A/B: instance-granular iwalk instead of vwalk
+run ab_vwalk0 env PT_VWALK=0 python benches/bench_twolevel.py \
+    --scene dragon --width 512 --height 512 --spp 8
+# finer per-(instance, part) gating A/B for iwalk (smaller parts = tighter)
+run ab_isplit env PT_VWALK=0 PT_IWALK_SPLIT=256 python benches/bench_twolevel.py \
     --scene dragon --width 512 --height 512 --spp 8
 
 # 4c. A/B knobs on the mid-size configs (walk below the dense threshold;
@@ -49,6 +61,12 @@ run profile_walk python benches/profile_walk.py --scene mesh --rays 262144
 run profile_walk_dragon python benches/profile_walk.py --scene dragon --rays 262144
 # key-split A/B: origin-cell vs direction-cone tightness for bounce batches
 run ab_obits env PT_WALK_KEY_OBITS=9 python benches/profile_walk.py --scene dragon --rays 262144
+# hierarchical window-skip A/B (word/summary min-tent levels; default ON —
+# this row measures the win by turning it OFF)
+run ab_lskip0 env PT_WALK_LSKIP=0 python benches/profile_walk.py --scene dragon --rays 262144
+# mask-build memory-traffic A/B: layout-order gate + row permute vs the
+# default per-block cb_oct fetch (bit-identical masks)
+run ab_mlayout env PT_WALK_MASK_LAYOUT=1 python benches/profile_walk.py --scene dragon --rays 262144
 
 # 6. quality harness (the slow one — run last)
 run quality python benches/quality.py --spp 256 --size 128

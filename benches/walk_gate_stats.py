@@ -92,7 +92,7 @@ def main():
     def listed_per_part(part, o_s, d_s, tl_s):
         # same pre-clamp the real call applies (_walk_closest_call)
         tl_c = walk._exit_clamp(part, o_s, d_s, tl_s)
-        _, _, tent, _ = walk._build_mask(part, o_s, d_s, tl_c)
+        tent = walk._build_mask(part, o_s, d_s, tl_c)[2]
         return (tent < walk._BIG).sum()
 
     nb = -(-n // walk.SBLK)

@@ -25,6 +25,7 @@ RNG: every draw site has a static stream id; values depend only on
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -759,6 +760,12 @@ TILE_LANES_STREAM = 65536
 # larger waves; 64K is the largest empirically stable size on v5e (the
 # stack engine at >=256K lanes has triggered TPU kernel faults).
 TILE_LANES_GATHER = 65536
+# Walk engines want the LARGEST waves: block-gate tightness scales with
+# rays per coherence-sort cell (measured on the dragon, walk_gate_stats:
+# bounce-regime listed chunks/ray 19.7 at 64K lanes -> 15.0 at 256K;
+# camera 0.66 -> 0.32), and the kernel itself is per-block so bigger waves
+# only add grid steps. PT_WALK_TILE overrides for hardware A/B.
+TILE_LANES_WALK = int(os.environ.get("PT_WALK_TILE", "262144"))
 
 
 def render_film(
@@ -810,6 +817,9 @@ def render_film(
         elif ("dense" in scene["tri"] or "dense_pl" in scene["tri"]
                 or "dense_pl_parts" in scene["tri"]):
             tile_lanes = TILE_LANES
+        elif ("walk" in scene["tri"]
+                or "iwalk" in scene.get("twolevel", {})):
+            tile_lanes = TILE_LANES_WALK
         else:
             tile_lanes = TILE_LANES_GATHER
     if steps_per_iter is None:
@@ -823,9 +833,11 @@ def render_film(
         # depending on which instance a bounce lands on — still valid Monte
         # Carlo, but not bit-stable across different sample schedules.
         steps_per_iter = 1
+    # Full-size tiles + one remainder tile (at most two compiled sizes).
+    # The old power-of-2-divisor rule collapsed 1920x1080 (2^10 * 2025
+    # lanes) to 1024-lane waves — destroying both per-dispatch overhead
+    # amortization and bounce-block coherence for every engine at 1080p.
     tile = min(tile_lanes, n)
-    while n % tile:
-        tile //= 2
     # NOTE: ``spp`` is deliberately NOT static — it only feeds the traced
     # regeneration limit, so one executable serves every spp. That makes
     # checkpoint/resume bit-faithful for ANY split of the sample range (all
@@ -841,7 +853,8 @@ def render_film(
     rads = []
     rays_total = jnp.zeros((2,), jnp.float32)
     for off in range(0, n, tile):
-        lane = jnp.uint32(off) + jnp.arange(tile, dtype=jnp.uint32)
+        size = min(tile, n - off)
+        lane = jnp.uint32(off) + jnp.arange(size, dtype=jnp.uint32)
         rad, _, _, rays = jit_trace(
             scene, ndc_to_world, cam_origin, base_sample, lane, width, height,
             max_bounces=max_bounces, enable_nee=enable_nee,

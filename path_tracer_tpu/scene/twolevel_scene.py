@@ -111,10 +111,16 @@ class TwoLevelGeometry:
             "tri_packed": jnp.asarray(self.tri_packed),
             "normals_flat": jnp.asarray(self.normals_flat),
         }
-        # Fast two-level engine on TPU: instance-gated walk with in-kernel
-        # object-space ray transforms (trace/iwalk.py). PT_IWALK=0 falls
-        # back to the gather-based TLAS/BLAS phase machine.
-        from path_tracer_tpu.trace.iwalk import IWALK_MAX_OBJECT_TRIS, pack_iwalk
+        # Fast two-level engines on TPU (trace/iwalk.py). Default: vwalk —
+        # (instance, chunk)-granular gated walk with shared object-space
+        # plane tables (walk-grade per-chunk culling + hierarchical window
+        # skips). PT_VWALK=0 falls back to instance-granular iwalk;
+        # PT_IWALK=0 disables both (gather-based TLAS/BLAS phase machine).
+        from path_tracer_tpu.trace.iwalk import (
+            IWALK_MAX_OBJECT_TRIS,
+            pack_iwalk,
+            pack_vwalk,
+        )
 
         if (jax.default_backend() == "tpu"
                 and os.environ.get("PT_IWALK", "1") != "0"
@@ -126,8 +132,13 @@ class TwoLevelGeometry:
                     return tuple(up(v) for v in x)
                 return jnp.asarray(x)
 
-            try:
-                out["iwalk"] = up(pack_iwalk(self.models))
-            except ValueError:
-                pass  # over the chunk cap: gather machine serves
+            packers = [pack_iwalk]
+            if os.environ.get("PT_VWALK", "1") != "0":
+                packers.insert(0, pack_vwalk)
+            for packer in packers:
+                try:
+                    out["iwalk"] = up(packer(self.models))
+                    break
+                except ValueError:
+                    continue  # over that engine's cap: try the next
         return out

@@ -47,10 +47,12 @@ from path_tracer_tpu.trace.walk import (
     CH_W,
     G_BLK,
     SBLK,
+    WALK_LSKIP,
     WALK_MAX_TRIS,
     WALK_SORT,
     WALK_SORT_ANY,
     _build_mask,
+    _win_admits,
     _chunk_t,
     _chunk_terms,
     _coherence_order,
@@ -335,9 +337,9 @@ def _obj_rays(inst_f, i, rc):
 
 
 def _iwalk_closest_kernel(
-    summ_ref, words_ref, tent_ref, oct_ref, rays_ref, ord_ref, inst_f,
-    inst_c, w_hbm, out_ref, wv, m_ref, c_ref, i_ref, sem_w,
-    *, s, gblk,
+    summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
+    ord_ref, inst_f, inst_c, w_hbm, out_ref, wv, m_ref, c_ref, i_ref, sem_w,
+    *, s, gblk, lskip,
 ):
     """Output block [gblk*SBLK, 4]: best_t | winner slot (chunk*CH_W+lane,
     global across the concatenated model tables) | instance | pad."""
@@ -386,13 +388,15 @@ def _iwalk_closest_kernel(
                 )
                 return win
 
-            return jax.lax.cond(te <= win * 1.00002 + 1e-5, test,
+            return jax.lax.cond(_win_admits(te, win), test,
                                 lambda w: w, win)
 
         _scan_mask(
             lambda sw: summ_ref[0, g, sw],
             lambda wi: words_ref[0, g, wi],
             s, visit, jnp.max(tlim),
+            read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
+            read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
         )
         t_p = m_ref[...]
         hit = t_p < _BIG
@@ -406,9 +410,9 @@ def _iwalk_closest_kernel(
 
 
 def _iwalk_any_kernel(
-    summ_ref, words_ref, tent_ref, oct_ref, rays_ref, ord_ref, inst_f,
-    inst_c, w_hbm, out_ref, wv, occ_ref, sem_w,
-    *, s, gblk,
+    summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
+    ord_ref, inst_f, inst_c, w_hbm, out_ref, wv, occ_ref, sem_w,
+    *, s, gblk, lskip,
 ):
     _load_w(w_hbm, wv, sem_w)
     eps = jnp.float32(EPSILON)
@@ -449,13 +453,15 @@ def _iwalk_any_kernel(
                 )
                 return win
 
-            return jax.lax.cond(te <= win * 1.00002 + 1e-5, test,
+            return jax.lax.cond(_win_admits(te, win), test,
                                 lambda w: w, win)
 
         _scan_mask(
             lambda sw: summ_ref[0, g, sw],
             lambda wi: words_ref[0, g, wi],
             s, visit, jnp.max(tlim), early_exit=True,
+            read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
+            read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
         )
         out_ref[0, g, :, 0:1] = occ_ref[...]
 
@@ -467,8 +473,9 @@ def _iwalk_any_kernel(
 # jitted call wrappers
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _iwalk_closest_call(eng, origin, direction, t_limit, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "lskip"))
+def _iwalk_closest_call(eng, origin, direction, t_limit, interpret,
+                        lskip=True):
     from path_tracer_tpu.trace.walk import _exit_clamp
 
     w = eng["w"]
@@ -477,17 +484,19 @@ def _iwalk_closest_call(eng, origin, direction, t_limit, interpret):
     npad = rays_c.shape[0]
     nbg = npad // SBLK // G_BLK
     o_p, d_p, tl_p = _pad_all(origin, direction, t_limit, npad, n)
-    summ, words, tent, oct_b = _build_mask(eng, o_p, d_p, tl_p)
+    summ, words, tent, oct_b, wtent, stent = _build_mask(eng, o_p, d_p, tl_p)
     s = summ.shape[1]
     kq = tent.shape[1]
     out = pl.pallas_call(
-        functools.partial(_iwalk_closest_kernel, s=s, gblk=G_BLK),
+        functools.partial(_iwalk_closest_kernel, s=s, gblk=G_BLK, lskip=lskip),
         grid=(nbg,),
         out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 4), jnp.float32),
         in_specs=[
             pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, kq), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq // 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, SBLK, 8), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -510,6 +519,8 @@ def _iwalk_closest_call(eng, origin, direction, t_limit, interpret):
         summ.reshape(nbg, G_BLK, s),
         words.reshape(nbg, G_BLK, s * 32),
         tent.reshape(nbg, G_BLK, kq),
+        wtent.reshape(nbg, G_BLK, kq // 32),
+        stent.reshape(nbg, G_BLK, s),
         oct_b.reshape(nbg, G_BLK, 1),
         rays_c.reshape(nbg, G_BLK, SBLK, 8),
         eng["ord_oct"], eng["inst_f"], eng["inst_c"], w,
@@ -517,8 +528,8 @@ def _iwalk_closest_call(eng, origin, direction, t_limit, interpret):
     return out.reshape(npad, 4)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _iwalk_any_call(eng, origin, direction, t_limit, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "lskip"))
+def _iwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
     from path_tracer_tpu.trace.walk import _exit_clamp
 
     w = eng["w"]
@@ -527,17 +538,19 @@ def _iwalk_any_call(eng, origin, direction, t_limit, interpret):
     npad = rays_c.shape[0]
     nbg = npad // SBLK // G_BLK
     o_p, d_p, tl_p = _pad_all(origin, direction, t_limit, npad, n)
-    summ, words, tent, oct_b = _build_mask(eng, o_p, d_p, tl_p)
+    summ, words, tent, oct_b, wtent, stent = _build_mask(eng, o_p, d_p, tl_p)
     s = summ.shape[1]
     kq = tent.shape[1]
     out = pl.pallas_call(
-        functools.partial(_iwalk_any_kernel, s=s, gblk=G_BLK),
+        functools.partial(_iwalk_any_kernel, s=s, gblk=G_BLK, lskip=lskip),
         grid=(nbg,),
         out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 1), jnp.float32),
         in_specs=[
             pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, kq), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq // 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, SBLK, 8), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -558,6 +571,8 @@ def _iwalk_any_call(eng, origin, direction, t_limit, interpret):
         summ.reshape(nbg, G_BLK, s),
         words.reshape(nbg, G_BLK, s * 32),
         tent.reshape(nbg, G_BLK, kq),
+        wtent.reshape(nbg, G_BLK, kq // 32),
+        stent.reshape(nbg, G_BLK, s),
         oct_b.reshape(nbg, G_BLK, 1),
         rays_c.reshape(nbg, G_BLK, SBLK, 8),
         eng["ord_oct"], eng["inst_f"], eng["inst_c"], w,
@@ -569,17 +584,29 @@ def _iwalk_any_call(eng, origin, direction, t_limit, interpret):
 # public API
 # ---------------------------------------------------------------------------
 
+def _closest_call_for(part):
+    """vwalk parts carry virtual-slot tables; iwalk parts carry clipped
+    instance chunk ranges — same output columns either way."""
+    return _vwalk_closest_call if "vinst" in part else _iwalk_closest_call
+
+
+def _any_call_for(part):
+    return _vwalk_any_call if "vinst" in part else _iwalk_any_call
+
+
 def _iclosest_parts(eng: dict, o_s, d_s, tl_s, interp):
     """Part loop with one live t-window (see walk._closest_parts); columns
     (best_t | global slot | instance | pad)."""
     parts = eng.get("parts")
     if parts is None:
-        return _iwalk_closest_call(eng, o_s, d_s, tl_s, interp)
+        return _closest_call_for(eng)(eng, o_s, d_s, tl_s, interp,
+                                      lskip=WALK_LSKIP)
     best = None
     for pi, part in enumerate(parts):
         off = eng["slot_off"][pi]
         tl_i = tl_s if best is None else jnp.minimum(tl_s, best[:, 0])
-        out = _iwalk_closest_call(part, o_s, d_s, tl_i, interp)
+        out = _closest_call_for(part)(part, o_s, d_s, tl_i, interp,
+                                      lskip=WALK_LSKIP)
         hit_i = out[:, 0] < _BIG
         slot_i = jnp.where(hit_i, out[:, 1] + off, -1.0)
         if best is None:
@@ -660,11 +687,13 @@ def iwalk_closest_hit_shade(eng: dict, origin, direction, t_limit):
 def _iany_parts(eng: dict, o, d, tl, interp):
     parts = eng.get("parts")
     if parts is None:
-        return _iwalk_any_call(eng, o, d, tl, interp) > 0.0
+        return _any_call_for(eng)(eng, o, d, tl, interp,
+                                  lskip=WALK_LSKIP) > 0.0
     occ = jnp.zeros(o.shape[0], bool)
     for part in parts:
         tl_i = jnp.where(occ, 0.0, tl)
-        occ = occ | (_iwalk_any_call(part, o, d, tl_i, interp) > 0.0)
+        occ = occ | (_any_call_for(part)(part, o, d, tl_i, interp,
+                                         lskip=WALK_LSKIP) > 0.0)
     return occ
 
 
@@ -677,3 +706,436 @@ def iwalk_any_hit(eng: dict, origin, direction, t_limit):
         )
         return _unsort_rows(out, order)
     return _iany_parts(eng, origin, direction, t_limit, _interpret_default())
+
+
+# ---------------------------------------------------------------------------
+# vwalk: virtual-chunk two-level engine (iwalk v2)
+# ---------------------------------------------------------------------------
+#
+# iwalk gates whole INSTANCES and then brute-walks every clipped chunk of a
+# gated-in instance — no per-chunk culling, no tent skips inside the range.
+# vwalk expands the (instance x chunk) product into VIRTUAL chunks: each has
+# a world box (the instance transform of the object chunk box, all 8
+# corners), so the walk engine's whole gating stack — per-chunk block gates,
+# octant front-to-back orders, live t-window, hierarchical word/summary
+# skips — applies at (instance, chunk) granularity. Plane tables stay in
+# OBJECT space and are shared per model; the kernel transforms the block's
+# rays per visit (12 SMEM scalars + VPU FMAs; rigid => t unchanged,
+# model.rs:40-43). This is blas.rs:214-294 + tlas.rs:66-110 fused into one
+# flat gated stream.
+
+VWALK_SPLIT_VCH = max(64, int(_os.environ.get("PT_VWALK_SPLIT", "1024")))
+VWALK_MAX_VCH = 16 * 1536  # total virtual chunks across parts
+
+
+def pack_vwalk(models, split_vch: int = VWALK_SPLIT_VCH) -> dict:
+    """Pack the virtual-chunk two-level engine (host numpy).
+
+    Per part kernel tables: ``w`` [8, nloc*2*CH_W] object-space plane table
+    of the part's REFERENCED object chunks (compacted — sharing is lost only
+    when one part spans several instances of the same model); ``cb_oct`` /
+    ``cb_lay`` / ``pos_valid`` / ``ord_oct`` exactly as in walk.pack_walk
+    but over virtual-chunk world boxes; ``vinst``/``vchunk``/``vglob``
+    [kvq] i32 per layout slot: owning instance, part-local w chunk, global
+    object chunk (for aux/origmap resolution). Top-level: ``aux``/``origmap``
+    in global object-slot order, ``inst_rows`` for the shading epilogue,
+    global sort quantizers and root box, ``slot_off`` zeros (winner slots
+    are already object-global)."""
+    from path_tracer_tpu.scene import triangle as tri_mod
+
+    w_model, aux_parts, orig_parts = [], [], []
+    chunk_off = [0]
+    tri_off = 0
+    cbox_min, cbox_max = [], []
+    for mid, model in enumerate(models):
+        pos = np.asarray(model.positions, np.float32)
+        pre = tri_mod.precompute(pos)
+        w, aux, orig, k, cmin, cmax = _model_chunk_tables(
+            pre, np.asarray(model.normals, np.float32).reshape(-1, 9),
+            pos, mid, tri_off,
+        )
+        w_model.append(w)
+        aux_parts.append(aux)
+        orig_parts.append(orig)
+        chunk_off.append(chunk_off[-1] + k)
+        cbox_min.append(cmin)
+        cbox_max.append(cmax)
+        tri_off += pos.shape[0]
+    K = chunk_off[-1]
+    w_all = np.concatenate(w_model, axis=1).reshape(8, K, 2 * CH_W)
+    aux_all = np.concatenate(aux_parts)
+    orig_all = np.concatenate(orig_parts)
+    cbox_min = np.concatenate(cbox_min)
+    cbox_max = np.concatenate(cbox_max)
+
+    inst_f, inst_rows, inst_mats, inst_mid = [], [], [], []
+    for mid, model in enumerate(models):
+        for matrix in model.matrices:
+            m = np.asarray(matrix, np.float32)
+            rot, tr = m[:, :3], m[:, 3]
+            rinv = rot.T
+            tinv = -rinv @ tr
+            inst_f.append(np.concatenate([rinv.reshape(9), tinv]))
+            row = np.zeros(24, np.float32)
+            row[0:9] = rinv.reshape(9)
+            row[9:12] = tinv
+            row[12:21] = rot.reshape(9)
+            row[21] = float(mid)
+            inst_rows.append(row)
+            inst_mats.append(m)
+            inst_mid.append(mid)
+    n_inst = len(inst_f)
+    inst_f = np.stack(inst_f).astype(np.float32)
+
+    # virtual chunks: world boxes of every (instance, object chunk) pair —
+    # all 8 corners through the rigid transform (boundingbox.rs:51-57 fix)
+    v_inst, v_chunk, vb_lo, vb_hi = [], [], [], []
+    for i, mid in enumerate(inst_mid):
+        c0, c1 = chunk_off[mid], chunk_off[mid + 1]
+        rot, tr = inst_mats[i][:, :3], inst_mats[i][:, 3]
+        lo, hi = cbox_min[c0:c1], cbox_max[c0:c1]
+        corners = np.stack(
+            [np.stack([hi[:, 0] if j & 4 else lo[:, 0],
+                       hi[:, 1] if j & 2 else lo[:, 1],
+                       hi[:, 2] if j & 1 else lo[:, 2]], axis=1)
+             for j in range(8)], axis=1)           # [k, 8, 3]
+        world = corners @ rot.T + tr
+        vb_lo.append(world.min(axis=1).astype(np.float32))
+        vb_hi.append(world.max(axis=1).astype(np.float32))
+        v_inst.append(np.full(c1 - c0, i, np.int32))
+        v_chunk.append(np.arange(c0, c1, dtype=np.int32))
+    v_inst = np.concatenate(v_inst)
+    v_chunk = np.concatenate(v_chunk)
+    vb_lo = np.concatenate(vb_lo)
+    vb_hi = np.concatenate(vb_hi)
+    KV = v_inst.shape[0]
+    if KV > VWALK_MAX_VCH:
+        raise ValueError(
+            f"vwalk caps at {VWALK_MAX_VCH} virtual chunks, got {KV}")
+
+    def _pack_part(ids):
+        kv = len(ids)
+        if kv > 1:
+            nodes, perm2, root = build_sah_tree(
+                vb_lo[ids], vb_hi[ids], max_leaf=1)
+            ords = _octant_orders(nodes, root, kv)
+        else:
+            perm2 = np.zeros(1, np.int64)
+            ords = np.zeros((8, 1), np.int32)
+        lay = ids[perm2]                       # global virtual id per slot
+        kvq = ((kv + 1023) // 1024) * 1024
+        cb_lo, cb_hi = vb_lo[lay], vb_hi[lay]
+        cb_oct = np.full((8, 6, kvq), 2.0e30, np.float32)
+        ord_pad = np.zeros((8, kvq), np.int32)
+        for o in range(8):
+            po = ords[o]
+            cb_oct[o, 0:3, :kv] = cb_lo[po].T
+            cb_oct[o, 3:6, :kv] = cb_hi[po].T
+            ord_pad[o, :kv] = po
+        cb_lay = np.full((6, kvq), 2.0e30, np.float32)
+        cb_lay[0:3, :kv] = cb_lo.T
+        cb_lay[3:6, :kv] = cb_hi.T
+        pos_valid = np.zeros(kvq, bool)
+        pos_valid[:kv] = True
+        # compact the referenced object chunks into a part-local w table
+        uniq, vchunk_loc = np.unique(v_chunk[lay], return_inverse=True)
+        w = w_all[:, uniq].reshape(8, len(uniq) * 2 * CH_W)
+        vi = np.zeros(kvq, np.int32)
+        vc = np.zeros(kvq, np.int32)
+        vg = np.zeros(kvq, np.int32)
+        vi[:kv] = v_inst[lay]
+        vc[:kv] = vchunk_loc
+        vg[:kv] = v_chunk[lay]
+        pad = 1e-4 * float(
+            max(np.abs(cb_lo).max(initial=0.0),
+                np.abs(cb_hi).max(initial=0.0), 1.0)) + 1e-6
+        return {
+            "w": w, "cb_oct": cb_oct, "cb_lay": cb_lay,
+            "pos_valid": pos_valid, "ord_oct": ord_pad,
+            "vinst": vi, "vchunk": vc, "vglob": vg, "inst_f": inst_f,
+            "root_lo": (cb_lo.min(axis=0) - pad).astype(np.float32),
+            "root_hi": (cb_hi.max(axis=0) + pad).astype(np.float32),
+        }
+
+    scene_lo = vb_lo.min(axis=0)
+    scene_hi = vb_hi.max(axis=0)
+    extent = np.maximum(scene_hi - scene_lo, 1e-6)
+    pad = 1e-4 * float(
+        max(np.abs(scene_lo).max(), np.abs(scene_hi).max(), 1.0)) + 1e-6
+    out = {
+        "inst_rows": np.stack(inst_rows),
+        "aux": aux_all,
+        "origmap": orig_all,
+        "sort_lo": scene_lo.astype(np.float32),
+        "sort_scale": (1.0 / extent).astype(np.float32),
+        "root_lo": (scene_lo - pad).astype(np.float32),
+        "root_hi": (scene_hi + pad).astype(np.float32),
+    }
+    if KV <= split_vch:
+        single = _pack_part(np.arange(KV, dtype=np.int64))
+        single.update(out)
+        return single
+    vperm, starts, spans = chunk_partition(vb_lo, vb_hi, split_vch)
+    parts = [
+        _pack_part(vperm[starts[c] : starts[c] + spans[c]].astype(np.int64))
+        for c in range(len(starts))
+    ]
+    # pad every part to ONE compiled kernel shape
+    kw = max(p["w"].shape[1] for p in parts)
+    kvq = max(p["ord_oct"].shape[1] for p in parts)
+    for p in parts:
+        if p["w"].shape[1] < kw:
+            w = np.zeros((8, kw), np.float32)
+            w[:, : p["w"].shape[1]] = p["w"]
+            p["w"] = w
+        q0 = p["ord_oct"].shape[1]
+        if q0 < kvq:
+            cb = np.full((8, 6, kvq), 2.0e30, np.float32)
+            cb[:, :, :q0] = p["cb_oct"]
+            cl = np.full((6, kvq), 2.0e30, np.float32)
+            cl[:, :q0] = p["cb_lay"]
+            p["cb_oct"], p["cb_lay"] = cb, cl
+            for key in ("ord_oct",):
+                od = np.zeros((8, kvq), np.int32)
+                od[:, :q0] = p[key]
+                p[key] = od
+            for key in ("vinst", "vchunk", "vglob"):
+                v = np.zeros(kvq, np.int32)
+                v[:q0] = p[key]
+                p[key] = v
+            pv = np.zeros(kvq, bool)
+            pv[:q0] = p["pos_valid"]
+            p["pos_valid"] = pv
+    out["parts"] = tuple(parts)
+    out["slot_off"] = np.zeros(len(parts), np.float32)  # slots are global
+    return out
+
+
+def _vwalk_closest_kernel(
+    summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
+    ord_ref, vinst_ref, vchunk_ref, vglob_ref, inst_f, w_hbm,
+    out_ref, wv, m_ref, c_ref, i_ref, sem_w,
+    *, s, gblk, lskip,
+):
+    """One gated visit = ONE object chunk of ONE instance. Output block
+    [gblk*SBLK, 4]: best_t | object-global slot | instance | pad."""
+    _load_w(w_hbm, wv, sem_w)
+    eps = jnp.float32(EPSILON)
+    chf = jnp.float32(CH_W)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (SBLK, CH_W), 1).astype(jnp.float32)
+
+    def g_body(g):
+        rays8 = rays_ref[0, g]
+        rc = (rays8[:, 0:1], rays8[:, 1:2], rays8[:, 2:3],
+              rays8[:, 3:4], rays8[:, 4:5], rays8[:, 5:6])
+        tlim = rays8[:, 7:8]
+        m_ref[...] = jnp.full((SBLK, 1), _BIG, jnp.float32)
+        c_ref[...] = jnp.full((SBLK, 1), -1.0, jnp.float32)
+        i_ref[...] = jnp.full((SBLK, 1), -1.0, jnp.float32)
+        oct = oct_ref[0, g, 0]
+
+        def visit(p, win):
+            te = tent_ref[0, g, p]
+
+            def test(win):
+                slot = ord_ref[oct, p]
+                i = vinst_ref[slot]
+                c = vchunk_ref[slot]
+                rc2 = _obj_rays(inst_f, i, rc)
+                tm = _chunk_t(wv, rc2, c, tlim, eps)
+                rowmin = jnp.min(tm, axis=1, keepdims=True)
+                lane = jnp.min(
+                    jnp.where(tm == rowmin, lane_row, _BIG),
+                    axis=1, keepdims=True,
+                )
+                gid = vglob_ref[slot].astype(jnp.float32) * chf + lane
+                upd = rowmin < m_ref[...]
+                c_ref[...] = jnp.where(upd, gid, c_ref[...])
+                i_ref[...] = jnp.where(upd, i.astype(jnp.float32), i_ref[...])
+                m_ref[...] = jnp.where(upd, rowmin, m_ref[...])
+                win2 = jnp.max(jnp.minimum(m_ref[...], tlim))
+                return jnp.minimum(win, win2)
+
+            return jax.lax.cond(_win_admits(te, win), test,
+                                lambda w: w, win)
+
+        _scan_mask(
+            lambda sw: summ_ref[0, g, sw],
+            lambda wi: words_ref[0, g, wi],
+            s, visit, jnp.max(tlim),
+            read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
+            read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
+        )
+        t_p = m_ref[...]
+        hit = t_p < _BIG
+        out_ref[0, g, :, 0:1] = t_p
+        out_ref[0, g, :, 1:2] = jnp.where(hit, c_ref[...], -1.0)
+        out_ref[0, g, :, 2:3] = jnp.where(hit, i_ref[...], -1.0)
+        out_ref[0, g, :, 3:4] = jnp.zeros((SBLK, 1), jnp.float32)
+
+    for g in range(gblk):  # static unroll — see walk._walk_closest_kernel
+        g_body(g)
+
+
+def _vwalk_any_kernel(
+    summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
+    ord_ref, vinst_ref, vchunk_ref, vglob_ref, inst_f, w_hbm,
+    out_ref, wv, occ_ref, sem_w,
+    *, s, gblk, lskip,
+):
+    _load_w(w_hbm, wv, sem_w)
+    eps = jnp.float32(EPSILON)
+
+    def g_body(g):
+        rays8 = rays_ref[0, g]
+        rc = (rays8[:, 0:1], rays8[:, 1:2], rays8[:, 2:3],
+              rays8[:, 3:4], rays8[:, 4:5], rays8[:, 5:6])
+        tlim = rays8[:, 7:8]
+        occ_ref[...] = jnp.zeros((SBLK, 1), jnp.float32)
+        oct = oct_ref[0, g, 0]
+
+        def visit(p, win):
+            te = tent_ref[0, g, p]
+
+            def test(win):
+                slot = ord_ref[oct, p]
+                i = vinst_ref[slot]
+                c = vchunk_ref[slot]
+                rc2 = _obj_rays(inst_f, i, rc)
+                det, td, ud, vd = _chunk_terms(wv, rc2, c)
+                c1 = _same(td - det * eps, det * tlim - td)
+                c2 = _same(ud, det - ud)
+                c3 = _same(vd, det - ud - vd)
+                ok = c1 & c2 & c3 & (det != 0.0)
+                hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
+                occ_ref[...] = jnp.maximum(occ_ref[...], hit)
+                win2 = jnp.max(jnp.where(occ_ref[...] > 0.5, 0.0, tlim))
+                return jnp.minimum(win, win2)
+
+            return jax.lax.cond(_win_admits(te, win), test,
+                                lambda w: w, win)
+
+        _scan_mask(
+            lambda sw: summ_ref[0, g, sw],
+            lambda wi: words_ref[0, g, wi],
+            s, visit, jnp.max(tlim), early_exit=True,
+            read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
+            read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
+        )
+        out_ref[0, g, :, 0:1] = occ_ref[...]
+
+    for g in range(gblk):
+        g_body(g)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "lskip"))
+def _vwalk_closest_call(eng, origin, direction, t_limit, interpret,
+                        lskip=True):
+    from path_tracer_tpu.trace.walk import _exit_clamp
+
+    w = eng["w"]
+    t_limit = _exit_clamp(eng, origin, direction, t_limit)
+    rays_c, n = _pack_rays_cols(origin, direction, t_limit)
+    npad = rays_c.shape[0]
+    nbg = npad // SBLK // G_BLK
+    o_p, d_p, tl_p = _pad_all(origin, direction, t_limit, npad, n)
+    summ, words, tent, oct_b, wtent, stent = _build_mask(eng, o_p, d_p, tl_p)
+    s = summ.shape[1]
+    kq = tent.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_vwalk_closest_kernel, s=s, gblk=G_BLK, lskip=lskip),
+        grid=(nbg,),
+        out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 4), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq // 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, SBLK, 8), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G_BLK, SBLK, 4), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(w.shape, jnp.float32),
+            pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        summ.reshape(nbg, G_BLK, s),
+        words.reshape(nbg, G_BLK, s * 32),
+        tent.reshape(nbg, G_BLK, kq),
+        wtent.reshape(nbg, G_BLK, kq // 32),
+        stent.reshape(nbg, G_BLK, s),
+        oct_b.reshape(nbg, G_BLK, 1),
+        rays_c.reshape(nbg, G_BLK, SBLK, 8),
+        eng["ord_oct"], eng["vinst"], eng["vchunk"], eng["vglob"],
+        eng["inst_f"], w,
+    )
+    return out.reshape(npad, 4)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "lskip"))
+def _vwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
+    from path_tracer_tpu.trace.walk import _exit_clamp
+
+    w = eng["w"]
+    t_limit = _exit_clamp(eng, origin, direction, t_limit)
+    rays_c, n = _pack_rays_cols(origin, direction, t_limit)
+    npad = rays_c.shape[0]
+    nbg = npad // SBLK // G_BLK
+    o_p, d_p, tl_p = _pad_all(origin, direction, t_limit, npad, n)
+    summ, words, tent, oct_b, wtent, stent = _build_mask(eng, o_p, d_p, tl_p)
+    s = summ.shape[1]
+    kq = tent.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_vwalk_any_kernel, s=s, gblk=G_BLK, lskip=lskip),
+        grid=(nbg,),
+        out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 1), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq // 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, SBLK, 8), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G_BLK, SBLK, 1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(w.shape, jnp.float32),
+            pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        summ.reshape(nbg, G_BLK, s),
+        words.reshape(nbg, G_BLK, s * 32),
+        tent.reshape(nbg, G_BLK, kq),
+        wtent.reshape(nbg, G_BLK, kq // 32),
+        stent.reshape(nbg, G_BLK, s),
+        oct_b.reshape(nbg, G_BLK, 1),
+        rays_c.reshape(nbg, G_BLK, SBLK, 8),
+        eng["ord_oct"], eng["vinst"], eng["vchunk"], eng["vglob"],
+        eng["inst_f"], w,
+    )
+    return out.reshape(-1)[:n]

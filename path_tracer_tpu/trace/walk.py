@@ -231,6 +231,14 @@ def pack_walk(tri: dict, normals_flat, model, positions) -> dict:
         cb_oct[o, 0:3, :k] = cb_lo[po].T
         cb_oct[o, 3:6, :k] = cb_hi[po].T
         ord_pad[o, :k] = po
+    # LAYOUT-order twin of cb_oct for the PT_WALK_MASK_LAYOUT gate path:
+    # one shared [6, kq] table (broadcast over blocks — no per-block 6-row
+    # gather) + a position-validity row (octant-order ranks >= k are pads)
+    cb_lay = np.full((6, kq), 2.0e30, np.float32)
+    cb_lay[0:3, :k] = cb_lo.T
+    cb_lay[3:6, :k] = cb_hi.T
+    pos_valid = np.zeros(kq, bool)
+    pos_valid[:k] = True
 
     scene_lo = bmin.min(axis=0)
     scene_hi = bmax.max(axis=0)
@@ -238,6 +246,8 @@ def pack_walk(tri: dict, normals_flat, model, positions) -> dict:
     return {
         "w": w,
         "cb_oct": cb_oct,
+        "cb_lay": cb_lay,
+        "pos_valid": pos_valid,
         "ord_oct": ord_pad,
         "aux": aux,
         "origmap": np.maximum(slots, 0).astype(np.int32),
@@ -265,8 +275,13 @@ def _pad_part_tables(e: dict, kmax: int) -> dict:
     cb[:, :, : e["cb_oct"].shape[2]] = e["cb_oct"]
     od = np.zeros((8, kq), np.int32)
     od[:, : e["ord_oct"].shape[1]] = e["ord_oct"]
+    cl = np.full((6, kq), 2.0e30, np.float32)
+    cl[:, : e["cb_lay"].shape[1]] = e["cb_lay"]
+    pv = np.zeros(kq, bool)
+    pv[: e["pos_valid"].shape[0]] = e["pos_valid"]
     out = dict(e)
     out["w"], out["cb_oct"], out["ord_oct"] = w, cb, od
+    out["cb_lay"], out["pos_valid"] = cl, pv
     return out
 
 
@@ -319,7 +334,8 @@ def pack_walk_parts(tri: dict, normals_flat, model, positions,
 
     parts = tuple(
         {k: v for k, v in _pad_part_tables(e, kmax).items()
-         if k in ("w", "cb_oct", "ord_oct", "root_lo", "root_hi")}
+         if k in ("w", "cb_oct", "cb_lay", "pos_valid", "ord_oct",
+                  "root_lo", "root_hi")}
         for e in parts_np
     )
     scene_lo = bmin.min(axis=0)
@@ -391,6 +407,35 @@ def _block_bounds(origin, direction, t_limit):
     }
 
 
+# Gate in chunk-LAYOUT order with one shared [6, kq] box table (broadcast —
+# no per-block 24 B/chunk cb_oct gather), then permute ok/tent rows to
+# octant order with take_along_axis. Same values, same expression order —
+# bit-identical gates; a pure memory-traffic A/B for the mask phase.
+_MASK_LAYOUT = _os.environ.get("PT_WALK_MASK_LAYOUT", "0") != "0"
+
+
+def _slab_lo_hi(sel, bb, nb, kq):
+    """Conservative slab interval of every chunk box in ``sel`` (either
+    [nb, 6, kq] per-block tables or a broadcast [6, kq] shared table)
+    against every block's bounds: returns ``(ok, t_lo)`` [nb, kq]."""
+    t_lo = jnp.zeros((nb, kq), jnp.float32)
+    t_hi = jnp.broadcast_to(bb["tmax"][:, None], (nb, kq))
+    for a in range(3):
+        nlo = sel[..., a, :] - bb["ohi"][:, a : a + 1]
+        nhi = sel[..., 3 + a, :] - bb["olo"][:, a : a + 1]
+        rlo = bb["rlo"][:, a : a + 1]
+        rhi = bb["rhi"][:, a : a + 1]
+        c0, c1 = nlo * rlo, nlo * rhi
+        c2, c3 = nhi * rlo, nhi * rhi
+        lo_a = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
+        hi_a = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
+        crs = bb["crosses"][:, a : a + 1]
+        t_lo = jnp.maximum(t_lo, jnp.where(crs, -_BIG, lo_a))
+        t_hi = jnp.minimum(t_hi, jnp.where(crs, _BIG, hi_a))
+    ok = (t_lo <= t_hi) & bb["anyv"][:, None]
+    return ok, t_lo
+
+
 def _build_mask(eng, origin_pad, direction_pad, t_limit_pad):
     """Gate every chunk against every block and pack survivors into a
     two-level bitmask, all in 2-D SoA layout (no 3-minor axes, no gathers
@@ -403,31 +448,33 @@ def _build_mask(eng, origin_pad, direction_pad, t_limit_pad):
     """
     bb = _block_bounds(origin_pad, direction_pad, t_limit_pad)
     oct_b = _block_octant(direction_pad)
-    sel = eng["cb_oct"][oct_b]                # [nb, 6, kq] 8-row table fetch
-    nb, _, kq = sel.shape
-    t_lo = jnp.zeros((nb, kq), jnp.float32)
-    t_hi = jnp.broadcast_to(bb["tmax"][:, None], (nb, kq))
-    for a in range(3):
-        nlo = sel[:, a] - bb["ohi"][:, a : a + 1]
-        nhi = sel[:, 3 + a] - bb["olo"][:, a : a + 1]
-        rlo = bb["rlo"][:, a : a + 1]
-        rhi = bb["rhi"][:, a : a + 1]
-        c0, c1 = nlo * rlo, nlo * rhi
-        c2, c3 = nhi * rlo, nhi * rhi
-        lo_a = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
-        hi_a = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
-        crs = bb["crosses"][:, a : a + 1]
-        t_lo = jnp.maximum(t_lo, jnp.where(crs, -_BIG, lo_a))
-        t_hi = jnp.minimum(t_hi, jnp.where(crs, _BIG, hi_a))
-    ok = (t_lo <= t_hi) & bb["anyv"][:, None]
-    tent = jnp.where(ok, t_lo, _BIG)
+    nb = oct_b.shape[0]
+    if _MASK_LAYOUT and "cb_lay" in eng:
+        kq = eng["cb_lay"].shape[1]
+        ok_l, tlo_l = _slab_lo_hi(eng["cb_lay"], bb, nb, kq)
+        idx = eng["ord_oct"][oct_b]           # [nb, kq] 8-row table fetch
+        ok = (jnp.take_along_axis(ok_l, idx, axis=1)
+              & eng["pos_valid"][None, :])    # pad ranks never pass
+        tent = jnp.where(ok, jnp.take_along_axis(tlo_l, idx, axis=1), _BIG)
+    else:
+        sel = eng["cb_oct"][oct_b]            # [nb, 6, kq] 8-row table fetch
+        kq = sel.shape[2]
+        ok, t_lo = _slab_lo_hi(sel, bb, nb, kq)
+        tent = jnp.where(ok, t_lo, _BIG)
 
     words_u = _pack_bits_mxu(ok)
     s = kq // 1024
     summ_u = _pack_bits_mxu(words_u != 0)
     words = jax.lax.bitcast_convert_type(words_u, jnp.int32)
     summ = jax.lax.bitcast_convert_type(summ_u, jnp.int32)
-    return summ, words, tent, oct_b
+    # hierarchical skip tables: min tent per 32-chunk word / per 1024-chunk
+    # summary group — the scalar core can then window-skip a whole word
+    # (or summary) with ONE compare instead of 32 (1024); skipping a level
+    # is sound iff EVERY entry in it would individually skip, which a min
+    # lower-bound guarantees (bit-identical visit sequence)
+    wtent = jnp.min(tent.reshape(nb, kq // 32, 32), axis=2)
+    stent = jnp.min(wtent.reshape(nb, s, 32), axis=2)
+    return summ, words, tent, oct_b, wtent, stent
 
 
 @functools.lru_cache(maxsize=8)
@@ -538,12 +585,29 @@ def _ilog2(b):
     return r
 
 
-def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False):
+# live t-window skip inequality (shared by the per-entry checks in the
+# kernels' visit callbacks and the word/summary-level checks below — the
+# levels are bit-identical ONLY if all three use the same comparison)
+WIN_MUL = 1.00002
+WIN_ADD = 1e-5
+
+
+def _win_admits(te, win):
+    return te <= win * jnp.float32(WIN_MUL) + jnp.float32(WIN_ADD)
+
+
+def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False,
+               read_wtent=None, read_stent=None):
     """Drive ``visit(pos, win) -> win`` over every set bit of the two-level
     mask in ascending (front-to-back) position order, threading the live
     window. ``read_summ(sw)``/``read_word(wi)`` fetch mask words from SMEM.
     ``early_exit`` additionally stops the whole scan once ``win <= 0``
-    (any-hit all-occluded)."""
+    (any-hit all-occluded). ``read_wtent(wi)``/``read_stent(sw)``, when
+    given, fetch the MIN conservative entry t of a whole 32-chunk word /
+    1024-chunk summary group: a level whose min fails the window admit
+    test is skipped with ONE compare — every entry in it would have been
+    window-skipped individually (same inequality), so the visit sequence
+    is bit-identical, just cheaper to stream."""
 
     def live_cond(c):
         if early_exit:
@@ -564,28 +628,49 @@ def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False):
             wi = _ilog2(b)
             widx = sw * 32 + wi
 
-            def word_body(ccc):
-                word, win = ccc
-                wb = word & -word
-                bi = _ilog2(wb)
-                win = visit(widx * 32 + bi, win)
-                return word & (word - 1), win
+            def scan_word(win):
+                def word_body(ccc):
+                    word, win = ccc
+                    wb = word & -word
+                    bi = _ilog2(wb)
+                    win = visit(widx * 32 + bi, win)
+                    return word & (word - 1), win
 
-            _, win = jax.lax.while_loop(
-                live_cond, word_body, (read_word(widx), win)
-            )
+                _, win = jax.lax.while_loop(
+                    live_cond, word_body, (read_word(widx), win)
+                )
+                return win
+
+            if read_wtent is None:
+                win = scan_word(win)
+            else:
+                win = jax.lax.cond(
+                    _win_admits(read_wtent(widx), win),
+                    scan_word, lambda w: w, win,
+                )
             return sword & (sword - 1), win
 
-        _, win = jax.lax.while_loop(live_cond, summ_body, (read_summ(sw), win))
+        def scan_summary(win):
+            return jax.lax.while_loop(
+                live_cond, summ_body, (read_summ(sw), win)
+            )[1]
+
+        if read_stent is None:
+            win = scan_summary(win)
+        else:
+            win = jax.lax.cond(
+                _win_admits(read_stent(sw), win),
+                scan_summary, lambda w: w, win,
+            )
         return sw + 1, win
 
     return jax.lax.while_loop(outer_cond, outer_body, (0, win0))[1]
 
 
 def _walk_closest_kernel(
-    summ_ref, words_ref, tent_ref, oct_ref, rays_ref, ord_ref, w_hbm,
-    out_ref, stat_ref, wv, m_ref, c_ref, sem_w,
-    *, s, gblk, winup, counters,
+    summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
+    ord_ref, w_hbm, out_ref, stat_ref, wv, m_ref, c_ref, sem_w,
+    *, s, gblk, winup, counters, lskip,
 ):
     """Streamed ordered closest hit for ``gblk`` ray blocks per grid step
     (batching amortizes per-step pipeline overhead). Output block
@@ -645,12 +730,14 @@ def _walk_closest_kernel(
                     stat_ref[2] = stat_ref[2] + 1
                 return win
 
-            return jax.lax.cond(te <= win * 1.00002 + 1e-5, test, skip, win)
+            return jax.lax.cond(_win_admits(te, win), test, skip, win)
 
         _scan_mask(
             lambda sw: summ_ref[0, g, sw],
             lambda wi: words_ref[0, g, wi],
             s, visit, jnp.max(tlim),
+            read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
+            read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
         )
 
         t_p = m_ref[...]
@@ -667,9 +754,9 @@ def _walk_closest_kernel(
 
 
 def _walk_any_kernel(
-    summ_ref, words_ref, tent_ref, oct_ref, rays_ref, ord_ref, w_hbm,
-    out_ref, wv, occ_ref, sem_w,
-    *, s, gblk,
+    summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
+    ord_ref, w_hbm, out_ref, wv, occ_ref, sem_w,
+    *, s, gblk, lskip,
 ):
     """Streamed any-hit (shadow) test, ``gblk`` blocks per grid step:
     out [gblk*SBLK, 1] > 0 iff occluded. Early-exits a block once every
@@ -701,14 +788,14 @@ def _walk_any_kernel(
                 win2 = jnp.max(jnp.where(occ_ref[...] > 0.5, 0.0, tlim))
                 return jnp.minimum(win, win2)
 
-            return jax.lax.cond(
-                te <= win * 1.00002 + 1e-5, test, lambda w: w, win
-            )
+            return jax.lax.cond(_win_admits(te, win), test, lambda w: w, win)
 
         _scan_mask(
             lambda sw: summ_ref[0, g, sw],
             lambda wi: words_ref[0, g, wi],
             s, visit, jnp.max(tlim), early_exit=True,
+            read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
+            read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
         )
         out_ref[0, g, :, 0:1] = occ_ref[...]
 
@@ -723,6 +810,9 @@ def _walk_any_kernel(
 # ray blocks per grid step (amortizes per-step pipeline overhead);
 # PT_WALK_GBLK overrides for hardware A/B
 G_BLK = int(_os.environ.get("PT_WALK_GBLK", "8"))
+# hierarchical window skips (word/summary min-tent levels) — bit-identical
+# visit sequence, cheaper scalar streaming; PT_WALK_LSKIP=0 for hardware A/B
+WALK_LSKIP = _os.environ.get("PT_WALK_LSKIP", "1") != "0"
 
 
 def _pack_rays_cols(origin, direction, t_limit):
@@ -757,9 +847,10 @@ def _pad_all(origin, direction, t_limit, npad, n):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "winup", "counters"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "winup", "counters", "lskip"))
 def _walk_closest_call(eng, origin, direction, t_limit, interpret,
-                       winup=True, counters=False):
+                       winup=True, counters=False, lskip=True):
     w = eng["w"]
     t_limit = _exit_clamp(eng, origin, direction, t_limit)
     rays_c, n = _pack_rays_cols(origin, direction, t_limit)
@@ -767,12 +858,12 @@ def _walk_closest_call(eng, origin, direction, t_limit, interpret,
     nb = npad // SBLK
     nbg = nb // G_BLK
     o_p, d_p, tl_p = _pad_all(origin, direction, t_limit, npad, n)
-    summ, words, tent, oct_b = _build_mask(eng, o_p, d_p, tl_p)
+    summ, words, tent, oct_b, wtent, stent = _build_mask(eng, o_p, d_p, tl_p)
     s = summ.shape[1]
     kq = tent.shape[1]
     out, stat = pl.pallas_call(
         functools.partial(_walk_closest_kernel, s=s, gblk=G_BLK, winup=winup,
-                          counters=counters),
+                          counters=counters, lskip=lskip),
         grid=(nbg,),
         out_shape=(
             jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 2), jnp.float32),
@@ -782,6 +873,8 @@ def _walk_closest_call(eng, origin, direction, t_limit, interpret,
             pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, kq), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq // 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, SBLK, 8), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -802,14 +895,16 @@ def _walk_closest_call(eng, origin, direction, t_limit, interpret,
         summ.reshape(nbg, G_BLK, s),
         words.reshape(nbg, G_BLK, s * 32),
         tent.reshape(nbg, G_BLK, kq),
+        wtent.reshape(nbg, G_BLK, kq // 32),
+        stent.reshape(nbg, G_BLK, s),
         oct_b.reshape(nbg, G_BLK, 1),
         rays_c.reshape(nbg, G_BLK, SBLK, 8), eng["ord_oct"], w,
     )
     return out.reshape(npad, 2)[:n], stat
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _walk_any_call(eng, origin, direction, t_limit, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "lskip"))
+def _walk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
     w = eng["w"]
     t_limit = _exit_clamp(eng, origin, direction, t_limit)
     rays_c, n = _pack_rays_cols(origin, direction, t_limit)
@@ -817,17 +912,19 @@ def _walk_any_call(eng, origin, direction, t_limit, interpret):
     nb = npad // SBLK
     nbg = nb // G_BLK
     o_p, d_p, tl_p = _pad_all(origin, direction, t_limit, npad, n)
-    summ, words, tent, oct_b = _build_mask(eng, o_p, d_p, tl_p)
+    summ, words, tent, oct_b, wtent, stent = _build_mask(eng, o_p, d_p, tl_p)
     s = summ.shape[1]
     kq = tent.shape[1]
     out = pl.pallas_call(
-        functools.partial(_walk_any_kernel, s=s, gblk=G_BLK),
+        functools.partial(_walk_any_kernel, s=s, gblk=G_BLK, lskip=lskip),
         grid=(nbg,),
         out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 1), jnp.float32),
         in_specs=[
             pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, kq), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, kq // 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, SBLK, 8), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -846,6 +943,8 @@ def _walk_any_call(eng, origin, direction, t_limit, interpret):
         summ.reshape(nbg, G_BLK, s),
         words.reshape(nbg, G_BLK, s * 32),
         tent.reshape(nbg, G_BLK, kq),
+        wtent.reshape(nbg, G_BLK, kq // 32),
+        stent.reshape(nbg, G_BLK, s),
         oct_b.reshape(nbg, G_BLK, 1),
         rays_c.reshape(nbg, G_BLK, SBLK, 8), eng["ord_oct"], w,
     )
@@ -951,13 +1050,15 @@ def _closest_parts(eng: dict, o_s, d_s, tl_s, interp):
     (best_t | global slot, -1 none)."""
     parts = eng.get("parts")
     if parts is None:
-        out, _ = _walk_closest_call(eng, o_s, d_s, tl_s, interp)
+        out, _ = _walk_closest_call(eng, o_s, d_s, tl_s, interp,
+                                    lskip=WALK_LSKIP)
         return out
     best = None
     for pi, part in enumerate(parts):
         off = eng["slot_off"][pi]
         tl_i = tl_s if best is None else jnp.minimum(tl_s, best[:, 0])
-        out, _ = _walk_closest_call(part, o_s, d_s, tl_i, interp)
+        out, _ = _walk_closest_call(part, o_s, d_s, tl_i, interp,
+                                    lskip=WALK_LSKIP)
         hit_i = out[:, 0] < _BIG
         slot_i = jnp.where(hit_i, out[:, 1] + off, -1.0)
         if best is None:
@@ -1038,9 +1139,12 @@ def walk_stats(eng: dict, origin, direction, t_limit, winup=True):
         best_t = None
         for part in eng["parts"]:
             tl = t_limit if best_t is None else jnp.minimum(t_limit, best_t)
+            # lskip=False: word/summary skips would hide per-entry skip
+            # counts; the VISIT sequence is bit-identical either way
             out, cnt = _walk_closest_call(
                 part, origin, direction, tl,
                 _interpret_default(), winup=winup, counters=True,
+                lskip=False,
             )
             best_t = out[:, 0] if best_t is None else jnp.minimum(best_t, out[:, 0])
             cnt = np.asarray(cnt)
@@ -1051,6 +1155,7 @@ def walk_stats(eng: dict, origin, direction, t_limit, winup=True):
     _, cnt = _walk_closest_call(
         eng, origin, direction, t_limit,
         _interpret_default(), winup=winup, counters=True,
+        lskip=False,  # see the part-loop note above
     )
     cnt = np.asarray(cnt)
     return {"listed": int(cnt[1] + cnt[2]), "visits": int(cnt[1]),
@@ -1062,11 +1167,12 @@ def _any_parts(eng: dict, o, d, tl, interp):
     deadened (t_limit 0) for later parts — their blocks gate nothing in."""
     parts = eng.get("parts")
     if parts is None:
-        return _walk_any_call(eng, o, d, tl, interp) > 0.0
+        return _walk_any_call(eng, o, d, tl, interp, lskip=WALK_LSKIP) > 0.0
     occ = jnp.zeros(o.shape[0], bool)
     for part in parts:
         tl_i = jnp.where(occ, 0.0, tl)
-        occ = occ | (_walk_any_call(part, o, d, tl_i, interp) > 0.0)
+        occ = occ | (_walk_any_call(part, o, d, tl_i, interp,
+                                    lskip=WALK_LSKIP) > 0.0)
     return occ
 
 

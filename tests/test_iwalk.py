@@ -175,3 +175,98 @@ def test_iwalk_dead_and_nan_lanes(setup):
     assert (np.asarray(bi)[live] == np.asarray(ref_i)[live]).all()
     a = iwalk.iwalk_any_hit(eng, jnp.asarray(o_np), d, jnp.asarray(tl_np))
     assert not np.asarray(a)[~live].any()
+
+
+@pytest.fixture(scope="module")
+def vsetup():
+    """Virtual-chunk two-level engine (vwalk) over the same model set."""
+    eng_np = iwalk.pack_vwalk(_models())
+    assert "vinst" in eng_np and "parts" not in eng_np
+
+    def up(x):
+        if isinstance(x, dict):
+            return {k: up(v) for k, v in x.items()}
+        if isinstance(x, tuple):
+            return tuple(up(v) for v in x)
+        return jnp.asarray(x)
+
+    return up(eng_np)
+
+
+def test_vwalk_closest_matches_baked_brute_force(setup, vsetup):
+    _, tri_w, pos_w, nrm_w, model_id, _ = setup
+    n = 512
+    o, d = _rays(n)
+    tl = jnp.full((n,), 1e30, jnp.float32)
+    bi, bt, bu, bv, nn, mm, inst = iwalk.iwalk_closest_hit_shade(
+        vsetup, o, d, tl)
+    ri, rt, _, _ = brute_force_closest(
+        {"packed": jnp.asarray(pack_tris(tri_w))}, o, d, tl
+    )
+    bi, ri = np.asarray(bi), np.asarray(ri)
+    assert ((bi >= 0) == (ri >= 0)).all()
+    both = (bi >= 0) & (ri >= 0)
+    assert both.sum() > n // 3
+    np.testing.assert_allclose(
+        np.asarray(bt)[both], np.asarray(rt)[both], rtol=2e-4, atol=1e-5
+    )
+    assert (np.asarray(mm)[both] == model_id[ri[both]]).all()
+    assert (np.asarray(inst)[both] >= 0).all()
+    assert (np.asarray(inst)[~both] == -1).all()
+
+
+def test_vwalk_matches_iwalk_and_multipart(setup, vsetup):
+    """vwalk is a pure engine change: winners, instances, t, and any-hit
+    must be IDENTICAL to iwalk's (same exact-f32 chunk test through the
+    same object-space transform), and the forced multi-part split must be
+    identical to single-part (pure work division, carried t-window)."""
+    eng_i, *_ = setup
+    eng_vm_np = iwalk.pack_vwalk(_models(), split_vch=16)
+    assert len(eng_vm_np["parts"]) >= 3
+    assert len({p["w"].shape for p in eng_vm_np["parts"]}) == 1
+    assert len({p["ord_oct"].shape for p in eng_vm_np["parts"]}) == 1
+
+    def up(x):
+        if isinstance(x, dict):
+            return {k: up(v) for k, v in x.items()}
+        if isinstance(x, tuple):
+            return tuple(up(v) for v in x)
+        return jnp.asarray(x)
+
+    eng_vm = up(eng_vm_np)
+    n = 384
+    o, d = _rays(n, seed=9)
+    tl = jnp.full((n,), 1e30, jnp.float32)
+    ii, it, _, _, _, im, iinst = iwalk.iwalk_closest_hit_shade(eng_i, o, d, tl)
+    vi, vt, _, _, _, vm, vinst = iwalk.iwalk_closest_hit_shade(vsetup, o, d, tl)
+    mi, mt, _, _, _, mm_, minst = iwalk.iwalk_closest_hit_shade(eng_vm, o, d, tl)
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(vi))
+    np.testing.assert_array_equal(np.asarray(iinst), np.asarray(vinst))
+    np.testing.assert_array_equal(np.asarray(it), np.asarray(vt))
+    np.testing.assert_array_equal(np.asarray(vi), np.asarray(mi))
+    np.testing.assert_array_equal(np.asarray(vinst), np.asarray(minst))
+    np.testing.assert_array_equal(np.asarray(vt), np.asarray(mt))
+    far = jnp.asarray(np.asarray(it) * 1.01)
+    a_i = np.asarray(iwalk.iwalk_any_hit(eng_i, o, d, far))
+    a_v = np.asarray(iwalk.iwalk_any_hit(vsetup, o, d, far))
+    a_m = np.asarray(iwalk.iwalk_any_hit(eng_vm, o, d, far))
+    np.testing.assert_array_equal(a_i, a_v)
+    np.testing.assert_array_equal(a_v, a_m)
+
+
+def test_vwalk_dead_and_nan_lanes(vsetup):
+    n = 256
+    o, d = _rays(n, seed=3)
+    tl_full = jnp.full((n,), 1e30, jnp.float32)
+    ref_i, *_ = iwalk.iwalk_closest_hit_shade(vsetup, o, d, tl_full)
+    o_np, tl_np = np.asarray(o).copy(), np.full(n, 1e30, np.float32)
+    tl_np[np.arange(n) % 3 == 0] = 0.0
+    o_np[np.arange(n) % 7 == 0] = np.nan
+    tl_np[np.arange(n) % 7 == 0] = 0.0
+    live = tl_np > 0.0
+    bi, *_ = iwalk.iwalk_closest_hit_shade(
+        vsetup, jnp.asarray(o_np), d, jnp.asarray(tl_np)
+    )
+    assert (np.asarray(bi)[live] == np.asarray(ref_i)[live]).all()
+    a = iwalk.iwalk_any_hit(vsetup, jnp.asarray(o_np), d, jnp.asarray(tl_np))
+    assert not np.asarray(a)[~live].any()

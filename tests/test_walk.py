@@ -260,3 +260,64 @@ def test_key_obits_invariance(soup, monkeypatch, obits):
     monkeypatch.setattr(walk, "_KEY_OBITS", 15)
     a_b = walk.walk_any_hit(eng, o, d, jnp.asarray(np.asarray(bt_a) * 1.01))
     np.testing.assert_array_equal(np.asarray(a_a), np.asarray(a_b))
+
+
+def test_mask_layout_invariance(soup, parts_soup, monkeypatch):
+    """PT_WALK_MASK_LAYOUT=1 gates in chunk-LAYOUT order against one shared
+    box table and permutes ok/tent afterwards — same values, same expression
+    order, so masks must be BIT-IDENTICAL at real positions (pad ranks are
+    explicitly off in layout mode; they are harmless chunk-0 revisits in the
+    default mode) and end-to-end hits identical. Pure memory-traffic A/B."""
+    eng, tri, _, _ = soup
+    n = 256
+    o, d = _rays(n, seed=11)
+    tl = jnp.full((n,), 1e30, jnp.float32)
+    tlc = walk._exit_clamp(eng, o, d, tl)
+    k = int(np.asarray(eng["pos_valid"]).sum())
+
+    def mask_real(e):
+        _, words, tent, oct_b, _, _ = walk._build_mask(e, o, d, tlc)
+        bits = (
+            (np.asarray(words)[:, :, None]
+             >> np.arange(32, dtype=np.int32)[None, None]) & 1
+        ).reshape(words.shape[0], -1)
+        return bits[:, :k], np.asarray(tent)[:, :k], np.asarray(oct_b)
+
+    bits_a, tent_a, oct_a = mask_real(eng)
+    bi_a, bt_a, _, _ = walk.walk_closest_hit(eng, o, d, tl)
+    pi_a, pt_a, _, _ = walk.walk_closest_hit(parts_soup[0], o, d, tl)
+    any_a = walk.walk_any_hit(eng, o, d, jnp.asarray(np.asarray(bt_a) * 1.01))
+
+    monkeypatch.setattr(walk, "_MASK_LAYOUT", True)
+    bits_b, tent_b, oct_b = mask_real(eng)
+    np.testing.assert_array_equal(oct_a, oct_b)
+    np.testing.assert_array_equal(bits_a, bits_b)
+    np.testing.assert_array_equal(tent_a, tent_b)
+    bi_b, bt_b, _, _ = walk.walk_closest_hit(eng, o, d, tl)
+    pi_b, pt_b, _, _ = walk.walk_closest_hit(parts_soup[0], o, d, tl)
+    any_b = walk.walk_any_hit(eng, o, d, jnp.asarray(np.asarray(bt_a) * 1.01))
+    assert (np.asarray(bi_a) == np.asarray(bi_b)).all()
+    np.testing.assert_array_equal(np.asarray(bt_a), np.asarray(bt_b))
+    assert (np.asarray(pi_a) == np.asarray(pi_b)).all()
+    np.testing.assert_array_equal(np.asarray(pt_a), np.asarray(pt_b))
+    np.testing.assert_array_equal(np.asarray(any_a), np.asarray(any_b))
+
+
+def test_lskip_invariance(soup, parts_soup, monkeypatch):
+    """Hierarchical window skips (word/summary min-tent levels) may only
+    change HOW entries are skipped, never which chunks are visited: a level
+    skips iff every entry in it fails the same per-entry admit inequality.
+    Closest/any results must be bit-identical with the levels on and off."""
+    eng, tri, _, _ = soup
+    n = 512
+    o, d = _rays(n, seed=13)
+    tl = jnp.full((n,), 1e30, jnp.float32)
+    results = {}
+    for flag in (True, False):
+        monkeypatch.setattr(walk, "WALK_LSKIP", flag)
+        bi, bt, _, _ = walk.walk_closest_hit(eng, o, d, tl)
+        pi, pt, _, _ = walk.walk_closest_hit(parts_soup[0], o, d, tl)
+        ah = walk.walk_any_hit(eng, o, d, jnp.asarray(np.asarray(bt) * 1.01))
+        results[flag] = tuple(np.asarray(x) for x in (bi, bt, pi, pt, ah))
+    for a, b in zip(results[True], results[False]):
+        np.testing.assert_array_equal(a, b)
