@@ -53,10 +53,12 @@ def f64_oracle(pos64, o, d, eps=5e-4):
     return best_i, best_t
 
 
-def _check_iwalk() -> bool:
+def _check_iwalk(packer_name: str = "iwalk") -> bool:
     """Two-level engine vs the oracle over the BAKED f64 soup. Winner
     indices live in different orders (engine object-tri vs baked soup), so
-    agreement is judged on hit mask, t, and the hit MODEL id."""
+    agreement is judged on hit mask, t, and the hit MODEL id. ``packer_name``
+    selects instance-granular iwalk or virtual-chunk vwalk (the default
+    two-level engine) — both must pass."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -67,8 +69,16 @@ def _check_iwalk() -> bool:
 
     baked, cam = scenes.many_instance_scene(grid=6, subdivisions=2)
     two = Scene(baked.models, two_level=True)
-    eng = {k: jnp.asarray(v) if not isinstance(v, tuple) else v
-           for k, v in iwalk.pack_iwalk(two.models).items()}
+    pack = iwalk.pack_iwalk if packer_name == "iwalk" else iwalk.pack_vwalk
+
+    def up(x):
+        if isinstance(x, dict):
+            return {k: up(v) for k, v in x.items()}
+        if isinstance(x, tuple):
+            return tuple(up(v) for v in x)
+        return jnp.asarray(x)
+
+    eng = up(pack(two.models))
 
     pos_w, model_id = [], []
     for mid, m in enumerate(two.models):
@@ -100,7 +110,7 @@ def _check_iwalk() -> bool:
     mmatch = float((mm[both] == model_id[oi[both]]).mean()) if both.any() else 1.0
     ok = hit_match >= 0.995 and med < 1e-4 and mmatch >= 0.995
     print(
-        f"many_instance[iwalk] {T} baked tris, "
+        f"many_instance[{packer_name}] {T} baked tris, "
         f"{eng['inst_f'].shape[0]} instances: hit match {hit_match*100:.2f}%, "
         f"t relerr med {med:.2e}, model match {mmatch*100:.2f}% -> "
         f"{'OK' if ok else 'FAIL'}",
@@ -121,11 +131,12 @@ def main():
         ("mesh_scene6", lambda: scenes.mesh_scene(subdivisions=6)),
         # dragon scale: multi-part walk (env small — geometry is the test)
         ("dragon", lambda: scenes.dragon_scene(env_h=64)),
-        ("iwalk", None),  # handled separately below (two-level engine)
+        ("iwalk", None),  # two-level engines, handled separately below
+        ("vwalk", None),
     ]
     for scene_name, build in cases:
-        if scene_name == "iwalk":
-            failures += 0 if _check_iwalk() else 1
+        if scene_name in ("iwalk", "vwalk"):
+            failures += 0 if _check_iwalk(scene_name) else 1
             continue
         sh, cam = build()
         scene = sh.device()
@@ -180,7 +191,7 @@ def main():
         ok = match >= 0.995 and med < 1e-5
         failures += 0 if ok else 1
         print(
-            f"{scene_name}[sub={sub}] {T} tris via {engine}: winner match "
+            f"{scene_name} {T} tris via {engine}: winner match "
             f"{match*100:.2f}%, t relerr med {med:.2e} -> {'OK' if ok else 'FAIL'}",
             flush=True,
         )

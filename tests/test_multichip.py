@@ -100,19 +100,24 @@ def test_twolevel_scene_sharded():
     np.testing.assert_allclose(np.asarray(rad_sh), np.asarray(rad_ref), rtol=1e-5, atol=1e-6)
 
 
-def test_twolevel_iwalk_sharded():
-    """Config-5 regime: the FAST two-level engine (instanced walk) under
-    shard_map tiling — sharded must match single-device with the SAME
-    engine (sharding is pure work division; the kernel runs under the
-    Pallas interpreter on the CPU mesh)."""
+import pytest
+
+
+@pytest.mark.parametrize("packer", ["iwalk", "vwalk"])
+def test_twolevel_iwalk_sharded(packer):
+    """Config-5 regime: the FAST two-level engines (instance-granular iwalk
+    and virtual-chunk vwalk) under shard_map tiling — sharded must match
+    single-device with the SAME engine (sharding is pure work division; the
+    kernels run under the Pallas interpreter on the CPU mesh)."""
     from path_tracer_tpu.scene.scene import Scene
     from path_tracer_tpu.trace import iwalk
 
     scene_host, cam = scenes.many_instance_scene(grid=3, subdivisions=1)
     two = Scene(scene_host.models, two_level=True)
     scene = two.device()
+    pack = iwalk.pack_iwalk if packer == "iwalk" else iwalk.pack_vwalk
     scene["twolevel"]["iwalk"] = {
-        k: jnp.asarray(v) for k, v in iwalk.pack_iwalk(two.models).items()
+        k: jnp.asarray(v) for k, v in pack(two.models).items()
     }
     ndc = jnp.asarray(cam.view_proj_inverse())
     org = jnp.asarray(cam.origin)
