@@ -72,8 +72,11 @@ def main():
     assert np.isfinite(rad).all()
     total, strict = float(rays[0]), float(rays[1])
     iw = scene.get("twolevel", {}).get("iwalk", {})
-    if engine == "iwalk" and "parts" in iw:
-        engine = "iwalk-parts"
+    if engine == "iwalk":
+        first = (iw.get("parts") or (iw,))[0]
+        engine = "vwalk" if "vinst" in first else "iwalk"
+        if "parts" in iw:
+            engine += "-parts"
     print(json.dumps({
         "config": f"{args.scene}_twolevel",
         "engine": engine,

@@ -122,7 +122,10 @@ class TwoLevelGeometry:
             pack_vwalk,
         )
 
-        if (jax.default_backend() == "tpu"
+        # PT_IWALK_FORCE=1 packs the fast engines off-TPU too (CPU
+        # interpreter smoke of the exact hardware path; slow — tests only)
+        if ((jax.default_backend() == "tpu"
+             or os.environ.get("PT_IWALK_FORCE", "0") != "0")
                 and os.environ.get("PT_IWALK", "1") != "0"
                 and self.num_object_tris <= IWALK_MAX_OBJECT_TRIS):
             def up(x):

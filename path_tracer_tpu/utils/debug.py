@@ -141,6 +141,35 @@ def validate_walk_engine(eng, num_tris: int) -> None:
             _check(bool((ic[:, 0] <= ic[:, 1]).all()) and bool((ic >= 0).all())
                    and bool((ic[:, 1] <= k).all()),
                    f"part {pi}: instance chunk ranges out of bounds")
+        if "cb_lay" in part:
+            # the layout table must be the un-permutation of every octant's
+            # permuted table (the two mask-build paths gate the same boxes)
+            cl = a(part["cb_lay"])
+            pv = a(part["pos_valid"])
+            kr = int(pv.sum())
+            _check(bool(pv[:kr].all()) and not bool(pv[kr:].any()),
+                   f"part {pi}: pos_valid is not a prefix")
+            for o in range(8):
+                _check(bool((cb[o][:, :kr] == cl[:, ords[o][:kr]]).all()),
+                       f"part {pi} octant {o}: cb_lay/cb_oct mismatch")
+        if "vinst" in part:
+            ni = a(part["inst_f"]).shape[0]
+            pv = a(part["pos_valid"])
+            kr = int(pv.sum())
+            vi, vc, vg = a(part["vinst"]), a(part["vchunk"]), a(part["vglob"])
+            lay = np.zeros(kr, np.int64)
+            lay[:] = -1
+            # every real octant-order rank points at a distinct layout slot
+            slots = np.sort(ords[0][:kr])
+            _check(bool((slots == np.arange(kr)).all()),
+                   f"part {pi}: vwalk order is not a permutation of slots")
+            _check(bool((vi[:kr] >= 0).all()) and bool((vi[:kr] < ni).all()),
+                   f"part {pi}: vinst out of range")
+            _check(bool((vc[:kr] >= 0).all()) and bool((vc[:kr] < k).all()),
+                   f"part {pi}: vchunk out of local w range")
+            nglob = a(eng["aux"]).shape[0] // 128
+            _check(bool((vg[:kr] >= 0).all()) and bool((vg[:kr] < nglob).all()),
+                   f"part {pi}: vglob out of the aux table")
     om = a(eng["origmap"])
     _check(bool((om >= 0).all()) and bool((om < num_tris).all()),
            "origmap outside the triangle soup")

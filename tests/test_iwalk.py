@@ -270,3 +270,14 @@ def test_vwalk_dead_and_nan_lanes(vsetup):
     assert (np.asarray(bi)[live] == np.asarray(ref_i)[live]).all()
     a = iwalk.iwalk_any_hit(vsetup, jnp.asarray(o_np), d, jnp.asarray(tl_np))
     assert not np.asarray(a)[~live].any()
+
+
+def test_vwalk_engine_validator(vsetup):
+    """Structural invariants incl. the vwalk tables (vinst/vchunk/vglob
+    ranges, layout-vs-octant box-table consistency), single and multi-part."""
+    from path_tracer_tpu.utils.debug import validate_walk_engine
+
+    models = _models()
+    nt = sum(np.asarray(m.positions).shape[0] for m in models)
+    validate_walk_engine(vsetup, nt)
+    validate_walk_engine(iwalk.pack_vwalk(models, split_vch=16), nt)
