@@ -52,6 +52,10 @@ run ab_nosort env PT_WALK_SORT=0 python benches/bench_all.py --size 512 --spp 16
 
 # 4d. env fetch A/B: quad table (default) vs four 3-wide gathers
 run ab_envplain env PT_ENV_QUAD=0 python benches/bench_all.py --size 512 --spp 16 --only env_sphere_4k
+# 4e. shadow-batch coherence sort A/B (any-hit batches keep pixel-major
+#     order by default) and wave-size A/B on the dragon
+run ab_sortany env PT_WALK_SORT_ANY=1 python benches/bench_all.py --size 512 --spp 16 --only dragon_scene
+run ab_tile64k env PT_WALK_TILE=65536 python benches/bench_all.py --size 512 --spp 16 --only dragon_scene
 
 # 5. interactive loop
 run fps python benches/interactive_fps.py --frames 48

@@ -112,3 +112,40 @@ def test_twolevel_full_render_matches_baked():
     np.testing.assert_array_equal(np.asarray(fid_t), np.asarray(fid_b))
     close = np.isclose(rad_t, rad_b, rtol=1e-3, atol=1e-3).mean()
     assert close > 0.98, close
+
+
+def test_vwalk_integrator_matches_gather_machine():
+    """Engine-vs-engine INTEGRATOR parity: the same two-level scene rendered
+    through the gather phase machine and through vwalk must agree — same
+    closest-hit winners, same shading epilogue (object->world normals,
+    model ids) through different wiring. Different FMA formations can flip
+    knife-edge paths, so: identical for >=99% of pixels, close in mean."""
+    import jax.numpy as jnp
+
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.integrator.wavefront import render_sample
+    from path_tracer_tpu.scene.scene import Scene
+    from path_tracer_tpu.trace import iwalk
+
+    scene_host, cam = scenes.many_instance_scene(grid=3, subdivisions=1)
+    two = Scene(scene_host.models, two_level=True)
+    scene = two.device()
+    assert "iwalk" not in scene["twolevel"]  # CPU: gather machine
+    ndc = jnp.asarray(cam.view_proj_inverse())
+    org = jnp.asarray(cam.origin)
+    kw = dict(max_bounces=4, enable_nee=True, has_lights=True,
+              mtypes=two.active_mtypes, any_volumes=two.has_volumes)
+    W = H = 32
+    rad_g, _, _, _ = render_sample(scene, ndc, org, 0, W, H, **kw)
+
+    scene["twolevel"]["iwalk"] = {
+        k: jnp.asarray(v) for k, v in iwalk.pack_vwalk(two.models).items()
+    }
+    rad_v, _, _, _ = render_sample(scene, ndc, org, 0, W, H, **kw)
+    rad_g, rad_v = np.asarray(rad_g), np.asarray(rad_v)
+    same = np.isclose(rad_g, rad_v, rtol=1e-5, atol=1e-6).all(axis=1)
+    # measured: ~1% of pixels land on knife-edge tests that the two
+    # engines' FMA formations round differently (valid MC either way)
+    assert same.mean() >= 0.98, f"only {same.mean():.3f} pixels agree"
+    assert np.isfinite(rad_v).all()
+    assert abs(rad_g.mean() - rad_v.mean()) <= 0.01 * max(rad_g.mean(), 1e-6)
