@@ -130,5 +130,11 @@ def main_with_retries(attempts: int = 5, backoff_s: float = 120.0):
 
 
 if __name__ == "__main__":
-    wait_for_device()
+    if not wait_for_device():
+        # In-process backend init would HANG forever on a wedged tunnel
+        # (never recovers even after the tunnel does) — fail loudly instead
+        # of hanging or recording a non-TPU number as the headline.
+        raise SystemExit(
+            "bench.py: no TPU device after the probe budget "
+            "(axon tunnel down); refusing to run the headline off-TPU")
     main_with_retries()
