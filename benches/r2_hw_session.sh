@@ -56,6 +56,7 @@ run ab_envplain env PT_ENV_QUAD=0 python benches/bench_all.py --size 512 --spp 1
 #     order by default) and wave-size A/B on the dragon
 run ab_sortany env PT_WALK_SORT_ANY=1 python benches/bench_all.py --size 512 --spp 16 --only dragon_scene
 run ab_tile64k env PT_WALK_TILE=65536 python benches/bench_all.py --size 512 --spp 16 --only dragon_scene
+run ab_part128k env PT_WALK_PART_TRIS=131072 python benches/bench_all.py --size 512 --spp 16 --only dragon_scene
 
 # 5. interactive loop
 run fps python benches/interactive_fps.py --frames 48

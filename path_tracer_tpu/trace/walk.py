@@ -72,13 +72,16 @@ WALK_MAX_TRIS = 196_608
 # is split into spatially tight parts, each a full walk engine whose weight
 # table fits VMEM; the closest-hit threads ONE live t-window through the
 # parts sequentially (later parts are culled by earlier hits) and the
-# any-hit deadens occluded lanes between parts. 16 parts x ~98K tris.
-WALK_PART_TRIS = 98_304
-WALK_PARTS_MAX_TRIS = 16 * WALK_PART_TRIS
-# Restore ray coherence before the kernel (block frustum tightness).
-# PT_WALK_SORT=0 disables (the argsort is expensive on TPU; measured A/B).
+# any-hit deadens occluded lanes between parts. Default ~98K tris/part
+# (6.3 MB of weight table); PT_WALK_PART_TRIS A/Bs bigger parts (fewer
+# launches + mask phases per wave) against VMEM pressure on hardware.
 import os as _os
 
+WALK_PART_TRIS = min(
+    196_608, max(16_384, int(_os.environ.get("PT_WALK_PART_TRIS", "98304"))))
+WALK_PARTS_MAX_TRIS = 1_572_864  # engine capacity: independent of the knob
+# Restore ray coherence before the kernel (block frustum tightness).
+# PT_WALK_SORT=0 disables (the argsort is expensive on TPU; measured A/B).
 WALK_SORT = _os.environ.get("PT_WALK_SORT", "1") != "0"
 # Shadow (any-hit) batches keep the wave's pixel-major lane order: origins
 # are the sorted closest-hit points and directions converge on the light,
