@@ -4,9 +4,11 @@ into markdown table rows for RESULTS_r2.md.
 Usage: python benches/collect_results.py /tmp/r2hw
 
 Pure host-side log parsing — no jax import, safe to run while the tunnel is
-wedged. Prints the bench_all table, the headline line, the config-5 rows,
-the interactive-fps rows, and the oracle verdict; missing/failed logs print
-as '(absent)' so partial sessions still collate.
+wedged. Directory-driven: EVERY ``<name>.log`` in the session dir is
+collated (the A/B row set grows; a hardcoded list silently drops rows) —
+oracle logs report their verdict, bench-style JSON lines print as table
+rows, everything else prints raw. Missing/empty logs print as '(absent)'
+so partial sessions still collate.
 """
 
 from __future__ import annotations
@@ -17,8 +19,6 @@ import sys
 
 
 def _json_lines(path):
-    if not os.path.exists(path):
-        return []
     out = []
     with open(path) as f:
         for line in f:
@@ -33,51 +33,40 @@ def _json_lines(path):
 
 def main():
     d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r2hw"
+    logs = sorted(f for f in os.listdir(d) if f.endswith(".log"))
+    if not logs:
+        print(f"(no .log files in {d})")
+        return
 
-    oracle = os.path.join(d, "oracle.log")
-    if os.path.exists(oracle):
-        txt = open(oracle).read()
-        fails = txt.count("FAIL")
-        print(f"## oracle: {'PASS' if fails == 0 and 'OK' in txt else f'{fails} FAIL lines'}")
-    else:
-        print("## oracle: (absent)")
-
-    print("\n## headline (bench.py)")
-    for row in _json_lines(os.path.join(d, "headline.log")):
-        print(f"{row.get('value')} Mrays/s (strict {row.get('value_strict')}, "
-              f"{row.get('spp_per_s')} spp/s, vs_baseline {row.get('vs_baseline')})")
-
-    print("\n## bench_all table (| config | tris | engine | Mrays/s | strict | spp/s |)")
-    for name in ("bench_all", "ab_walkmin", "ab_nosort", "ab_envplain"):
-        rows = _json_lines(os.path.join(d, f"{name}.log"))
-        if not rows:
-            print(f"({name}: absent)")
+    for fname in logs:
+        name = fname[:-4]
+        path = os.path.join(d, fname)
+        rows = _json_lines(path)
+        print(f"\n## {name}")
+        if name.startswith("oracle"):
+            txt = open(path).read()
+            fails = txt.count("FAIL")
+            verdict = "PASS" if fails == 0 and "OK" in txt else f"{fails} FAIL lines"
+            print(verdict)
+            for line in txt.splitlines():
+                if "->" in line:
+                    print(f"  {line.strip()}")
             continue
-        print(f"### {name}")
+        if not rows:
+            print("(absent or no JSON lines)")
+            continue
         for r in rows:
-            if "config" not in r:
-                continue
-            print(f"| {r['config']} | {r.get('tris', '?'):,} | {r.get('engine', '?')} "
-                  f"| {r.get('mrays_per_s', '—')} | {r.get('mrays_per_s_strict', '—')} "
-                  f"| {r.get('spp_per_s', '—')} |")
-
-    print("\n## config 5 (bench_twolevel)")
-    for name in ("twolevel", "twolevel_dragon"):
-        for r in _json_lines(os.path.join(d, f"{name}.log")):
-            print(f"{name}: {json.dumps(r)}")
-
-    print("\n## interactive fps")
-    for r in _json_lines(os.path.join(d, "fps.log")):
-        print(json.dumps(r))
-
-    print("\n## walk profile")
-    for name in ("profile_walk", "profile_walk_dragon"):
-        for r in _json_lines(os.path.join(d, f"{name}.log")):
-            print(f"{name}: {json.dumps(r)}")
-
-    print("\n## quality")
-    for r in _json_lines(os.path.join(d, "quality.log")):
-        print(json.dumps(r))
+            if "config" in r:  # bench_all / bench_twolevel style
+                print(f"| {r['config']} | {r.get('tris', r.get('instances', '?'))} "
+                      f"| {r.get('engine', '?')} | {r.get('mrays_per_s', '—')} "
+                      f"| {r.get('mrays_per_s_strict', '—')} "
+                      f"| {r.get('spp_per_s', '—')} |")
+            elif "value" in r and "metric" in r:  # bench.py headline
+                print(f"{r['value']} {r.get('unit', '')} (strict "
+                      f"{r.get('value_strict')}, {r.get('spp_per_s')} spp/s, "
+                      f"vs_baseline {r.get('vs_baseline')})")
+            else:
+                print(json.dumps(r))
 
 
 if __name__ == "__main__":
