@@ -260,6 +260,12 @@ def test_render_film_tiling_invariance(cornell):
     b, rb = render_film(scene, ndc, org, 0, W, H, 2, tile_lanes=(W * H) // 4, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ra), np.asarray(rb))
+    # a tile size that does NOT divide the film: full tiles + one remainder
+    # tile (the 1080p case — lane count factors as 2^10 * odd)
+    c, rc = render_film(scene, ndc, org, 0, W, H, 2,
+                        tile_lanes=(W * H) // 4 - 8, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rc))
 
 
 def test_thin_lens_defocus():
