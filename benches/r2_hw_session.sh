@@ -31,8 +31,9 @@ run headline python bench.py
 run bench_all python benches/bench_all.py --size 512 --spp 16 --extended
 
 # 4. config 5 as specified (slice: 64 spp for the rate; full 1024 spp only
-#    if time allows — rate is spp-invariant past a few waves)
+#    if time allows — rate is spp-invariant past a few waves); engine A/B
 run twolevel python benches/bench_twolevel.py --spp 64
+run ab_c5_iwalk env PT_VWALK=0 python benches/bench_twolevel.py --spp 16
 
 # 4b. two-level dragon (shared BLAS, multi-part) at a modest slice —
 #     default engine is vwalk ((instance, chunk)-granular gated walk)
