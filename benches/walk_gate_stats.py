@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--scene", default="dragon", choices=["mesh", "dragon"])
     ap.add_argument("--rays", type=int, default=262144)
     ap.add_argument("--obits", default="15,12,9,6,3,0")
+    ap.add_argument("--two-level", action="store_true",
+                    help="gate the TWO-LEVEL engine (vwalk virtual chunks "
+                         "over the dragon instance pair) instead of the "
+                         "baked walk engine")
     args = ap.parse_args()
 
     import numpy as np
@@ -40,15 +44,35 @@ def main():
     from path_tracer_tpu.trace import walk
     from path_tracer_tpu.utils.disk_cache import cached_arrays
 
-    if args.scene == "dragon":
-        pos, nrm = cached_arrays(procedural.knot, scale=42.0)  # ~885K tris
+    if args.two_level:
+        from path_tracer_tpu import scenes
+        from path_tracer_tpu.trace import iwalk
+
+        baked, _ = (scenes.dragon_scene(env_h=64) if args.scene == "dragon"
+                    else scenes.many_instance_scene(grid=6, subdivisions=2))
+        eng_np = iwalk.pack_vwalk(baked.models)
+        # world-space surface points for ray targets/origins: bake a
+        # subsample of every instance (the engine gates in world space)
+        pts = []
+        for m in baked.models:
+            P = np.asarray(m.positions, np.float32)
+            step = max(1, P.shape[0] // 20000)
+            for mat in m.matrices:
+                mt = np.asarray(mat, np.float32)
+                pts.append((P[::step].reshape(-1, 3) @ mt[:, :3].T
+                            + mt[:, 3]).reshape(-1, 3, 3))
+        pos = np.concatenate(pts)
+        t = pos.shape[0]
     else:
-        pos, nrm = cached_arrays(procedural.bumpy_sphere, nu=192, nv=192)
-    t = pos.shape[0]
-    tri = triangle.precompute(pos)
-    packer = (walk.pack_walk if t <= walk.WALK_MAX_TRIS
-              else walk.pack_walk_parts)
-    eng_np = packer(tri, nrm.reshape(-1, 9), None, pos)
+        if args.scene == "dragon":
+            pos, nrm = cached_arrays(procedural.knot, scale=42.0)  # ~885K
+        else:
+            pos, nrm = cached_arrays(procedural.bumpy_sphere, nu=192, nv=192)
+        t = pos.shape[0]
+        tri = triangle.precompute(pos)
+        packer = (walk.pack_walk if t <= walk.WALK_MAX_TRIS
+                  else walk.pack_walk_parts)
+        eng_np = packer(tri, nrm.reshape(-1, 9), None, pos)
 
     def up(x):
         if isinstance(x, dict):
@@ -110,7 +134,9 @@ def main():
                 int(listed_per_part(p, o_s, d_s, tl_s)) for p in parts
             )
             print(json.dumps({
-                "scene": args.scene, "tris": t, "parts": len(parts),
+                "scene": args.scene,
+                "mode": "two-level-vwalk" if args.two_level else "baked-walk",
+                "tris": t, "parts": len(parts),
                 "regime": name, "rays": n, "blocks": nb, "obits": obits,
                 "listed_per_block": round(listed / nb, 1),
                 "wall_s": round(time.time() - t0, 1),
