@@ -61,6 +61,8 @@ run ab_part128k env PT_WALK_PART_TRIS=131072 python benches/bench_all.py --size 
 
 # 5. interactive loop
 run fps python benches/interactive_fps.py --frames 48
+# the reference's own showcase, interactively: dragon + env map
+run fps_dragon python benches/interactive_fps.py --scene dragon_scene --frames 12
 
 # 5b. walk phase breakdown (sort/mask/kernel split + visit efficiency)
 run profile_walk python benches/profile_walk.py --scene mesh --rays 262144

@@ -275,8 +275,11 @@ class Scene:
         # mid-size scenes — set 0 to force walk everywhere above the
         # compile-time streams).
         walk_min = int(os.environ.get("PT_WALK_MIN", str(DENSE_PL_MAX_TRIS)))
+        # PT_WALK_FORCE=1 packs the walk engine off-TPU too (CPU interpreter
+        # smoke of the exact hardware path; slow — tests/smokes only)
         want_walk = (
-            jax.default_backend() == "tpu"
+            (jax.default_backend() == "tpu"
+             or os.environ.get("PT_WALK_FORCE", "0") != "0")
             and os.environ.get("PT_WALK", "1") != "0"
             and walk_min < self.num_world_tris <= WALK_PARTS_MAX_TRIS
         )
