@@ -42,6 +42,11 @@ def main():
                     help="also report the interval gate at sub-block "
                          "granularities, OR-ed back to 128-ray blocks "
                          "(e.g. 64,32,16) — the sub-gate design space")
+    ap.add_argument("--predicted", action="store_true",
+                    help="ALSO gate with per-ray t_limit = (first chunk-"
+                         "entry t + 2 chunk diameters): the ceiling of a "
+                         "hash-based predicted-t two-pass scheme "
+                         "(arxiv 1910.01304) at the gate level")
     args = ap.parse_args()
 
     import numpy as np
@@ -148,12 +153,60 @@ def main():
             t_hi = jnp.minimum(t_hi, hi_a)
         return t_lo <= t_hi
 
+    @jax.jit
+    def per_ray_entry(lo, hi, o_b, d_b, tl_b):
+        """Per-ray MIN conservative entry t over the part's chunks (BIG if
+        the ray hits none) — a stand-in for 'distance to first geometry'."""
+        d0 = d_b == 0.0
+        inv = 1.0 / jnp.where(d0, 1.0, d_b)
+        t_lo = jnp.zeros((o_b.shape[0], lo.shape[0]), jnp.float32)
+        t_hi = jnp.broadcast_to(tl_b[:, None], t_lo.shape)
+        for a in range(3):
+            n1 = lo[None, :, a] - o_b[:, a, None]
+            n2 = hi[None, :, a] - o_b[:, a, None]
+            r = inv[:, a, None]
+            lo_a = jnp.minimum(n1 * r, n2 * r)
+            hi_a = jnp.maximum(n1 * r, n2 * r)
+            inside = (o_b[:, a, None] >= lo[None, :, a]) & (
+                o_b[:, a, None] <= hi[None, :, a])
+            crs = d0[:, a, None]
+            lo_a = jnp.where(crs, jnp.where(inside, -walk._BIG, walk._BIG), lo_a)
+            hi_a = jnp.where(crs, jnp.where(inside, walk._BIG, -walk._BIG), hi_a)
+            t_lo = jnp.maximum(t_lo, lo_a)
+            t_hi = jnp.minimum(t_hi, hi_a)
+        ok = t_lo <= t_hi
+        return jnp.min(jnp.where(ok, jnp.maximum(t_lo, 0.0), walk._BIG),
+                       axis=1)
+
     SB = walk.SBLK
     nb = -(-n // SB)
     t0 = time.time()
     listed = per_ray = union = 0
     groups = [int(g) for g in args.groups.split(",") if g]
     g_listed = {g: 0 for g in groups}
+    pred_listed = 0
+    if args.predicted:
+        # first chunk-entry t per ray across ALL parts, then a slack of two
+        # typical chunk diameters (predictions must stay conservative-ish)
+        entry = jnp.full((n,), walk._BIG, jnp.float32)
+        diam = 0.0
+        for part in parts:
+            pv = np.asarray(part["pos_valid"])
+            kk = int(pv.sum())
+            cl = np.asarray(part["cb_lay"])
+            lo_h, hi_h = cl[0:3, :kk].T, cl[3:6, :kk].T
+            diam = max(diam, float(np.linalg.norm(hi_h - lo_h, axis=1).mean()))
+            B = 8192
+            for s0 in range(0, n, B):
+                e = per_ray_entry(jnp.asarray(lo_h), jnp.asarray(hi_h),
+                                  o_s[s0 : s0 + B], d_s[s0 : s0 + B],
+                                  tl_s[s0 : s0 + B])
+                entry = entry.at[s0 : s0 + B].set(
+                    jnp.minimum(entry[s0 : s0 + B], e))
+        tl_pred = jnp.minimum(tl_s, jnp.where(
+            entry < walk._BIG, entry + 2.0 * diam, tl_s))
+        for part in parts:
+            pred_listed += int(block_listed(part, o_s, d_s, tl_pred))
     for part in parts:
         # chunk boxes in layout order; only the real (non-pad) chunks —
         # a padded part's trailing slots would otherwise test garbage
@@ -180,6 +233,8 @@ def main():
         "regime": args.regime, "rays": n, "blocks": nb,
         "obits": args.obits,
         "listed_per_block": round(listed / nb, 1),
+        **({"listed_pred": round(pred_listed / nb, 1)} if args.predicted
+           else {}),
         **{f"listed_g{g}": round(g_listed[g] / nb, 1) for g in groups},
         "union_per_block": round(union / nb, 1),
         "per_ray_mean": round(per_ray / n, 2),
