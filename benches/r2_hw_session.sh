@@ -16,12 +16,24 @@ run() { # name, cmd...
 }
 
 # 1. correctness gate — REQUIRED before any perf claim. On failure, bisect
-#    the round-2 kernel knobs (hierarchical skips / layout gating) so the
-#    log shows WHICH path broke on real hardware.
+#    the round-2 kernel knobs (hierarchical skips / layout gating), log
+#    WHICH path broke, and FALL BACK to the safe knobs for the rest of the
+#    session — never bench a kernel the oracle rejected.
 run oracle python benches/oracle_check.py || {
-  run oracle_noskip env PT_WALK_LSKIP=0 python benches/oracle_check.py
-  run oracle_legacy env PT_WALK_LSKIP=0 PT_WALK_MASK_LAYOUT=0 \
-      python benches/oracle_check.py
+  if run oracle_noskip env PT_WALK_LSKIP=0 python benches/oracle_check.py; then
+    export PT_WALK_LSKIP=0
+    echo "!! oracle failed with hierarchical skips; session continues with PT_WALK_LSKIP=0"
+  elif run oracle_legacy env PT_WALK_LSKIP=0 PT_WALK_MASK_LAYOUT=0 \
+      python benches/oracle_check.py; then
+    export PT_WALK_LSKIP=0 PT_WALK_MASK_LAYOUT=0
+    echo "!! oracle needed full legacy knobs; session continues with them"
+  fi
+  # the two-level vwalk case is packed directly (PT_VWALK can't gate the
+  # oracle) — if ONLY that case failed, route two-level rows through iwalk
+  if grep -q "vwalk.*FAIL" "$OUT/oracle.log"; then
+    export PT_VWALK=0
+    echo "!! vwalk oracle case failed; two-level rows fall back to iwalk"
+  fi
 }
 
 # 2. headline (driver metric)
