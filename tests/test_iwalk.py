@@ -281,3 +281,21 @@ def test_vwalk_engine_validator(vsetup):
     nt = sum(np.asarray(m.positions).shape[0] for m in models)
     validate_walk_engine(vsetup, nt)
     validate_walk_engine(iwalk.pack_vwalk(models, split_vch=16), nt)
+
+
+def test_vwalk_lskip_invariance(vsetup, monkeypatch):
+    """Hierarchical window skips through the vwalk kernels: identical
+    closest/any results with the levels on and off (see walk.test)."""
+    n = 256
+    o, d = _rays(n, seed=5)
+    tl = jnp.full((n,), 1e30, jnp.float32)
+    got = {}
+    for flag in (True, False):
+        monkeypatch.setattr(iwalk, "WALK_LSKIP", flag)
+        bi, bt, _, _, _, _, inst = iwalk.iwalk_closest_hit_shade(
+            vsetup, o, d, tl)
+        ah = iwalk.iwalk_any_hit(vsetup, o, d,
+                                 jnp.asarray(np.asarray(bt) * 1.01))
+        got[flag] = tuple(np.asarray(x) for x in (bi, bt, inst, ah))
+    for a, b in zip(got[True], got[False]):
+        np.testing.assert_array_equal(a, b)
