@@ -134,6 +134,13 @@ def main():
         ("iwalk", None),  # two-level engines, handled separately below
         ("vwalk", None),
     ]
+    # PT_ORACLE_CASES=mesh_scene,mesh_scene6 runs a subset — used to split
+    # the gate into a fast pre-bench pass (minutes of f64 all-pairs on one
+    # host core at dragon scale) and a full post-bench pass.
+    only = os.environ.get("PT_ORACLE_CASES", "")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        cases = [c for c in cases if c[0] in keep]
     for scene_name, build in cases:
         if scene_name in ("iwalk", "vwalk"):
             failures += 0 if _check_iwalk(scene_name) else 1
