@@ -139,8 +139,21 @@ def main():
     # host core at dragon scale) and a full post-bench pass.
     only = os.environ.get("PT_ORACLE_CASES", "")
     if only:
+        known = {c[0] for c in cases}
         keep = {s.strip() for s in only.split(",") if s.strip()}
+        # A misspelled/stale subset must not become a vacuous green gate
+        # (ADVICE r2): unknown names or an empty filter are hard errors.
+        unknown = sorted(keep - known)
+        if unknown or not keep:
+            print(
+                f"oracle_check: PT_ORACLE_CASES={only!r} contains unknown case "
+                f"names {unknown} (known: {sorted(known)}); refusing to run a "
+                "vacuous subset",
+                flush=True,
+            )
+            sys.exit(1)
         cases = [c for c in cases if c[0] in keep]
+        print(f"SUBSET MODE: {sorted(keep)}", flush=True)
     for scene_name, build in cases:
         if scene_name in ("iwalk", "vwalk"):
             failures += 0 if _check_iwalk(scene_name) else 1
