@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-3 follow-up hardware measurements, run AFTER benches/r2_hw_session.sh:
+#   bash benches/r3_extras.sh [outdir]
+# 1. quality harness at SPEC scale (VERDICT r2 weak #5: committed rows were
+#    128^2; BASELINE config 1 specifies 512x512 @ 64 spp),
+# 2. the real-asset scene (disk .obj + .png through the file loaders) rendered
+#    on the TPU via the CLI (VERDICT r2 missing #2),
+# 3. config 5 at the FULL specified 1024 spp (the main session runs a 64-spp
+#    slice for the rate; this is the endurance row).
+set -u -o pipefail
+OUT="${1:-/tmp/r3extras}"
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() {
+  local name="$1"; shift
+  echo "=== $name ($(date -u +%H:%M:%S)) ==="
+  timeout 6000 "$@" 2>&1 | tee "$OUT/$name.log"
+  local rc=$?
+  echo "rc=$rc ($name)"
+  return $rc
+}
+
+# spec-scale quality: all five configs, one JSON row each
+run quality_spec python benches/quality.py --size 512 --spp 64 --max-bounces 64
+# the GGX control column at the same scale (documents the reference-estimator gap)
+run quality_spec_cggx python benches/quality.py --size 512 --spp 64 --max-bounces 64 \
+    --consistent-ggx --config mesh_scene
+
+# real-asset render through the file loaders (assets/ written by make_assets.py)
+[ -f assets/knot.obj ] || run make_assets python benches/make_assets.py
+run asset_scene python -m path_tracer_tpu.cli --scene assets/asset_scene.json \
+    --width 512 --height 288 --spp 64 --max-bounces 32 --out renders/asset_scene.png
+
+# config 5 endurance: full 1024 spp as specified (rate is established by the
+# main session's 64-spp slice; this proves the full render completes)
+run twolevel_full python benches/bench_twolevel.py --spp 1024

@@ -59,9 +59,12 @@ def main(argv=None):
     aspect = args.width / args.height
     with timers.phase("scene build"):
         if args.scene.endswith(".json"):
+            from path_tracer_tpu.utils.config import load_camera_json
+
             scene_host = load_scene_json(args.scene)
-            cam = Camera((0.0, 277.5, 1300.0), (0.0, 277.5, 0.0), fov=args.fov,
-                         aspect_ratio=aspect)
+            cam = load_camera_json(args.scene, aspect) or Camera(
+                (0.0, 277.5, 1300.0), (0.0, 277.5, 0.0), fov=args.fov,
+                aspect_ratio=aspect)
         else:
             scene_host, cam = getattr(scenes, args.scene)(aspect=aspect)
         if args.two_level and not scene_host.two_level:

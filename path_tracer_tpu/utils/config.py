@@ -10,6 +10,8 @@ JSON scene schema::
 
     {
       "env": "path/to/env.png",            // optional equirect map
+      "camera": {"origin": [x,y,z], "look_at": [x,y,z], "fov": deg,
+                 "aperture": d, "focus": dist},   // optional
       "models": [
         {
           "obj": "mesh.obj",                // OR "primitive": {...}
@@ -133,3 +135,26 @@ def load_scene_json(path):
 
     env = load_image(desc["env"]) if desc.get("env") else None
     return Scene(models, env=env, two_level=desc.get("two_level", False))
+
+
+def load_camera_json(path, aspect: float):
+    """Optional ``camera`` block of a JSON scene -> ``Camera`` (or ``None``).
+
+    Schema: ``{"origin": [x,y,z], "look_at": [x,y,z], "fov": deg,
+    "aperture": d, "focus": dist}`` — mirroring ``Camera::new``
+    (camera.rs:17-31); aspect always comes from the film (--width/--height).
+    """
+    from path_tracer_tpu.camera import Camera
+
+    with open(path) as f:
+        c = json.load(f).get("camera")
+    if not c:
+        return None
+    return Camera(
+        tuple(c.get("origin", (0.0, 277.5, 1300.0))),
+        tuple(c.get("look_at", (0.0, 277.5, 0.0))),
+        fov=float(c.get("fov", 60.0)),
+        aspect_ratio=aspect,
+        aperture=float(c.get("aperture", 0.0)),
+        focus_distance=float(c["focus"]) if "focus" in c else None,
+    )
