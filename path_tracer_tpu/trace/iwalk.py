@@ -174,7 +174,7 @@ def _inst_orders(ibmin, ibmax, n_inst):
         orders = live_ids[orders_local]
     else:
         orders = np.broadcast_to(live_ids, (8, len(live_ids))).copy()
-    kq = ((n_inst + 1023) // 1024) * 1024
+    kq = ((n_inst + 127) // 128) * 128
     cb_oct = np.full((8, 6, kq), 2.0e30, np.float32)
     ord_pad = np.zeros((8, kq), np.int32)
     nl = len(live_ids)
@@ -340,7 +340,7 @@ def _obj_rays(inst_f, i, rc):
 def _iwalk_closest_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
     ord_ref, inst_f, inst_c, w_hbm, out_ref, wv, m_ref, c_ref, i_ref,
-    lst_ref, sem_w,
+    lst_ref, smin_ref, sem_w,
     *, s, gblk, lskip, flat,
 ):
     """Output block [gblk*SBLK, 4]: best_t | winner slot (chunk*CH_W+lane,
@@ -360,38 +360,38 @@ def _iwalk_closest_kernel(
         i_ref[...] = jnp.full((SBLK, 1), -1.0, jnp.float32)
         oct = oct_ref[0, g, 0]
 
+        def test(p, win):
+            i = ord_ref[oct, p]
+            rc2 = _obj_rays(inst_f, i, rc)
+            c_end = inst_c[i, 1]
+            inf = jnp.float32(i)
+
+            def chunk_body(cw):
+                c, win = cw
+                tm = _chunk_t(wv, rc2, c, tlim, eps)
+                rowmin = jnp.min(tm, axis=1, keepdims=True)
+                lane = jnp.min(
+                    jnp.where(tm == rowmin, lane_row, _BIG),
+                    axis=1, keepdims=True,
+                )
+                gid = c.astype(jnp.float32) * chf + lane
+                upd = rowmin < m_ref[...]
+                c_ref[...] = jnp.where(upd, gid, c_ref[...])
+                i_ref[...] = jnp.where(upd, inf, i_ref[...])
+                m_ref[...] = jnp.where(upd, rowmin, m_ref[...])
+                win2 = jnp.max(jnp.minimum(m_ref[...], tlim))
+                return c + 1, jnp.minimum(win, win2)
+
+            _, win = jax.lax.while_loop(
+                lambda cw: cw[0] < c_end, chunk_body, (inst_c[i, 0], win)
+            )
+            return win
+
         def visit(p, win):
             te = tent_ref[0, g, p]
-
-            def test(win):
-                i = ord_ref[oct, p]
-                rc2 = _obj_rays(inst_f, i, rc)
-                c_end = inst_c[i, 1]
-                inf = jnp.float32(i)
-
-                def chunk_body(cw):
-                    c, win = cw
-                    tm = _chunk_t(wv, rc2, c, tlim, eps)
-                    rowmin = jnp.min(tm, axis=1, keepdims=True)
-                    lane = jnp.min(
-                        jnp.where(tm == rowmin, lane_row, _BIG),
-                        axis=1, keepdims=True,
-                    )
-                    gid = c.astype(jnp.float32) * chf + lane
-                    upd = rowmin < m_ref[...]
-                    c_ref[...] = jnp.where(upd, gid, c_ref[...])
-                    i_ref[...] = jnp.where(upd, inf, i_ref[...])
-                    m_ref[...] = jnp.where(upd, rowmin, m_ref[...])
-                    win2 = jnp.max(jnp.minimum(m_ref[...], tlim))
-                    return c + 1, jnp.minimum(win, win2)
-
-                _, win = jax.lax.while_loop(
-                    lambda cw: cw[0] < c_end, chunk_body, (inst_c[i, 0], win)
-                )
-                return win
-
-            return jax.lax.cond(_win_admits(te, win), test,
-                                lambda w: w, win)
+            return jax.lax.cond(
+                _win_admits(te, win), lambda w: test(p, w), lambda w: w, win
+            )
 
         _scan_mask(
             lambda sw: summ_ref[0, g, sw],
@@ -400,6 +400,9 @@ def _iwalk_closest_kernel(
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
             lst_ref=lst_ref if flat else None,
+            test=test if flat else None,
+            read_tent=(lambda p: tent_ref[0, g, p]) if flat else None,
+            smin_ref=smin_ref if flat else None,
         )
         t_p = m_ref[...]
         hit = t_p < _BIG
@@ -414,8 +417,8 @@ def _iwalk_closest_kernel(
 
 def _iwalk_any_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
-    ord_ref, inst_f, inst_c, w_hbm, out_ref, wv, occ_ref, lst_ref, sem_w,
-    *, s, gblk, lskip, flat,
+    ord_ref, inst_f, inst_c, w_hbm, out_ref, wv, occ_ref, lst_ref, smin_ref,
+    sem_w, *, s, gblk, lskip, flat,
 ):
     _load_w(w_hbm, wv, sem_w)
     eps = jnp.float32(EPSILON)
@@ -428,36 +431,36 @@ def _iwalk_any_kernel(
         occ_ref[...] = jnp.zeros((SBLK, 1), jnp.float32)
         oct = oct_ref[0, g, 0]
 
+        def test(p, win):
+            i = ord_ref[oct, p]
+            rc2 = _obj_rays(inst_f, i, rc)
+            c_end = inst_c[i, 1]
+
+            def chunk_body(cw):
+                c, win = cw
+                det, td, ud, vd = _chunk_terms(wv, rc2, c)
+                c1 = _same(td - det * eps, det * tlim - td)
+                c2 = _same(ud, det - ud)
+                c3 = _same(vd, det - ud - vd)
+                ok = c1 & c2 & c3 & (det != 0.0)
+                hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
+                occ_ref[...] = jnp.maximum(occ_ref[...], hit)
+                win2 = jnp.max(jnp.where(occ_ref[...] > 0.5, 0.0, tlim))
+                return c + 1, jnp.minimum(win, win2)
+
+            def chunk_cond(cw):
+                return (cw[0] < c_end) & (cw[1] > 0.0)
+
+            _, win = jax.lax.while_loop(
+                chunk_cond, chunk_body, (inst_c[i, 0], win)
+            )
+            return win
+
         def visit(p, win):
             te = tent_ref[0, g, p]
-
-            def test(win):
-                i = ord_ref[oct, p]
-                rc2 = _obj_rays(inst_f, i, rc)
-                c_end = inst_c[i, 1]
-
-                def chunk_body(cw):
-                    c, win = cw
-                    det, td, ud, vd = _chunk_terms(wv, rc2, c)
-                    c1 = _same(td - det * eps, det * tlim - td)
-                    c2 = _same(ud, det - ud)
-                    c3 = _same(vd, det - ud - vd)
-                    ok = c1 & c2 & c3 & (det != 0.0)
-                    hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
-                    occ_ref[...] = jnp.maximum(occ_ref[...], hit)
-                    win2 = jnp.max(jnp.where(occ_ref[...] > 0.5, 0.0, tlim))
-                    return c + 1, jnp.minimum(win, win2)
-
-                def chunk_cond(cw):
-                    return (cw[0] < c_end) & (cw[1] > 0.0)
-
-                _, win = jax.lax.while_loop(
-                    chunk_cond, chunk_body, (inst_c[i, 0], win)
-                )
-                return win
-
-            return jax.lax.cond(_win_admits(te, win), test,
-                                lambda w: w, win)
+            return jax.lax.cond(
+                _win_admits(te, win), lambda w: test(p, w), lambda w: w, win
+            )
 
         _scan_mask(
             lambda sw: summ_ref[0, g, sw],
@@ -466,6 +469,9 @@ def _iwalk_any_kernel(
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
             lst_ref=lst_ref if flat else None,
+            test=test if flat else None,
+            read_tent=(lambda p: tent_ref[0, g, p]) if flat else None,
+            smin_ref=smin_ref if flat else None,
         )
         out_ref[0, g, :, 0:1] = occ_ref[...]
 
@@ -518,6 +524,7 @@ def _iwalk_closest_call(eng, origin, direction, t_limit, interpret,
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.SMEM((kq,), jnp.int32),
+            pltpu.SMEM((kq + 1,), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -572,6 +579,7 @@ def _iwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
             pltpu.VMEM(w.shape, jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.SMEM((kq,), jnp.int32),
+            pltpu.SMEM((kq + 1,), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -831,7 +839,7 @@ def pack_vwalk(models, split_vch: int = VWALK_SPLIT_VCH) -> dict:
             perm2 = np.zeros(1, np.int64)
             ords = np.zeros((8, 1), np.int32)
         lay = ids[perm2]                       # global virtual id per slot
-        kvq = ((kv + 1023) // 1024) * 1024
+        kvq = ((kv + 127) // 128) * 128
         cb_lo, cb_hi = vb_lo[lay], vb_hi[lay]
         cb_oct = np.full((8, 6, kvq), 2.0e30, np.float32)
         ord_pad = np.zeros((8, kvq), np.int32)
@@ -922,7 +930,7 @@ def pack_vwalk(models, split_vch: int = VWALK_SPLIT_VCH) -> dict:
 def _vwalk_closest_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
     ord_ref, vinst_ref, vchunk_ref, vglob_ref, inst_f, w_hbm,
-    out_ref, wv, m_ref, c_ref, i_ref, lst_ref, sem_w,
+    out_ref, wv, m_ref, c_ref, i_ref, lst_ref, smin_ref, sem_w,
     *, s, gblk, lskip, flat,
 ):
     """One gated visit = ONE object chunk of ONE instance. Output block
@@ -942,30 +950,30 @@ def _vwalk_closest_kernel(
         i_ref[...] = jnp.full((SBLK, 1), -1.0, jnp.float32)
         oct = oct_ref[0, g, 0]
 
+        def test(p, win):
+            slot = ord_ref[oct, p]
+            i = vinst_ref[slot]
+            c = vchunk_ref[slot]
+            rc2 = _obj_rays(inst_f, i, rc)
+            tm = _chunk_t(wv, rc2, c, tlim, eps)
+            rowmin = jnp.min(tm, axis=1, keepdims=True)
+            lane = jnp.min(
+                jnp.where(tm == rowmin, lane_row, _BIG),
+                axis=1, keepdims=True,
+            )
+            gid = vglob_ref[slot].astype(jnp.float32) * chf + lane
+            upd = rowmin < m_ref[...]
+            c_ref[...] = jnp.where(upd, gid, c_ref[...])
+            i_ref[...] = jnp.where(upd, i.astype(jnp.float32), i_ref[...])
+            m_ref[...] = jnp.where(upd, rowmin, m_ref[...])
+            win2 = jnp.max(jnp.minimum(m_ref[...], tlim))
+            return jnp.minimum(win, win2)
+
         def visit(p, win):
             te = tent_ref[0, g, p]
-
-            def test(win):
-                slot = ord_ref[oct, p]
-                i = vinst_ref[slot]
-                c = vchunk_ref[slot]
-                rc2 = _obj_rays(inst_f, i, rc)
-                tm = _chunk_t(wv, rc2, c, tlim, eps)
-                rowmin = jnp.min(tm, axis=1, keepdims=True)
-                lane = jnp.min(
-                    jnp.where(tm == rowmin, lane_row, _BIG),
-                    axis=1, keepdims=True,
-                )
-                gid = vglob_ref[slot].astype(jnp.float32) * chf + lane
-                upd = rowmin < m_ref[...]
-                c_ref[...] = jnp.where(upd, gid, c_ref[...])
-                i_ref[...] = jnp.where(upd, i.astype(jnp.float32), i_ref[...])
-                m_ref[...] = jnp.where(upd, rowmin, m_ref[...])
-                win2 = jnp.max(jnp.minimum(m_ref[...], tlim))
-                return jnp.minimum(win, win2)
-
-            return jax.lax.cond(_win_admits(te, win), test,
-                                lambda w: w, win)
+            return jax.lax.cond(
+                _win_admits(te, win), lambda w: test(p, w), lambda w: w, win
+            )
 
         _scan_mask(
             lambda sw: summ_ref[0, g, sw],
@@ -974,6 +982,9 @@ def _vwalk_closest_kernel(
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
             lst_ref=lst_ref if flat else None,
+            test=test if flat else None,
+            read_tent=(lambda p: tent_ref[0, g, p]) if flat else None,
+            smin_ref=smin_ref if flat else None,
         )
         t_p = m_ref[...]
         hit = t_p < _BIG
@@ -989,7 +1000,7 @@ def _vwalk_closest_kernel(
 def _vwalk_any_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
     ord_ref, vinst_ref, vchunk_ref, vglob_ref, inst_f, w_hbm,
-    out_ref, wv, occ_ref, lst_ref, sem_w,
+    out_ref, wv, occ_ref, lst_ref, smin_ref, sem_w,
     *, s, gblk, lskip, flat,
 ):
     _load_w(w_hbm, wv, sem_w)
@@ -1003,26 +1014,26 @@ def _vwalk_any_kernel(
         occ_ref[...] = jnp.zeros((SBLK, 1), jnp.float32)
         oct = oct_ref[0, g, 0]
 
+        def test(p, win):
+            slot = ord_ref[oct, p]
+            i = vinst_ref[slot]
+            c = vchunk_ref[slot]
+            rc2 = _obj_rays(inst_f, i, rc)
+            det, td, ud, vd = _chunk_terms(wv, rc2, c)
+            c1 = _same(td - det * eps, det * tlim - td)
+            c2 = _same(ud, det - ud)
+            c3 = _same(vd, det - ud - vd)
+            ok = c1 & c2 & c3 & (det != 0.0)
+            hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
+            occ_ref[...] = jnp.maximum(occ_ref[...], hit)
+            win2 = jnp.max(jnp.where(occ_ref[...] > 0.5, 0.0, tlim))
+            return jnp.minimum(win, win2)
+
         def visit(p, win):
             te = tent_ref[0, g, p]
-
-            def test(win):
-                slot = ord_ref[oct, p]
-                i = vinst_ref[slot]
-                c = vchunk_ref[slot]
-                rc2 = _obj_rays(inst_f, i, rc)
-                det, td, ud, vd = _chunk_terms(wv, rc2, c)
-                c1 = _same(td - det * eps, det * tlim - td)
-                c2 = _same(ud, det - ud)
-                c3 = _same(vd, det - ud - vd)
-                ok = c1 & c2 & c3 & (det != 0.0)
-                hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
-                occ_ref[...] = jnp.maximum(occ_ref[...], hit)
-                win2 = jnp.max(jnp.where(occ_ref[...] > 0.5, 0.0, tlim))
-                return jnp.minimum(win, win2)
-
-            return jax.lax.cond(_win_admits(te, win), test,
-                                lambda w: w, win)
+            return jax.lax.cond(
+                _win_admits(te, win), lambda w: test(p, w), lambda w: w, win
+            )
 
         _scan_mask(
             lambda sw: summ_ref[0, g, sw],
@@ -1031,6 +1042,9 @@ def _vwalk_any_kernel(
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
             lst_ref=lst_ref if flat else None,
+            test=test if flat else None,
+            read_tent=(lambda p: tent_ref[0, g, p]) if flat else None,
+            smin_ref=smin_ref if flat else None,
         )
         out_ref[0, g, :, 0:1] = occ_ref[...]
 
@@ -1081,6 +1095,7 @@ def _vwalk_closest_call(eng, origin, direction, t_limit, interpret,
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.SMEM((kq,), jnp.int32),
+            pltpu.SMEM((kq + 1,), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -1138,6 +1153,7 @@ def _vwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
             pltpu.VMEM(w.shape, jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.SMEM((kq,), jnp.int32),
+            pltpu.SMEM((kq + 1,), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

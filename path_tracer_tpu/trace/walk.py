@@ -81,8 +81,12 @@ WALK_PART_TRIS = min(
     196_608, max(16_384, int(_os.environ.get("PT_WALK_PART_TRIS", "98304"))))
 WALK_PARTS_MAX_TRIS = 1_572_864  # engine capacity: independent of the knob
 # Restore ray coherence before the kernel (block frustum tightness).
-# PT_WALK_SORT=0 disables (the argsort is expensive on TPU; measured A/B).
-WALK_SORT = _os.environ.get("PT_WALK_SORT", "1") != "0"
+# PT_WALK_SORT=0 disables; =1 full u32 argsort (XLA bitonic, measured
+# 52 ms @ 262K rays on v5e); =2 radix-rank counting sort on the top
+# PT_WALK_SORT_BITS key bits (exact integer one-hot histograms + scans,
+# stable — within-bucket original order preserved; measured A/B).
+WALK_SORT = int(_os.environ.get("PT_WALK_SORT", "1"))
+WALK_SORT_BITS = int(_os.environ.get("PT_WALK_SORT_BITS", "9"))
 # Shadow (any-hit) batches keep the wave's pixel-major lane order: origins
 # are the sorted closest-hit points and directions converge on the light,
 # so they are block-coherent WITHOUT a fresh sort. PT_WALK_SORT_ANY=1
@@ -152,7 +156,7 @@ def pack_walk(tri: dict, normals_flat, model, positions) -> dict:
     [nchunks*CH_W] i32 original soup index per slot (0 for pads — pads
     carry zero planes and never win); ``sort_lo``/``sort_scale`` [3]
     scene-bounds quantizers for the coherence sort; ``root_lo``/``root_hi``
-    the scene box for the t_limit exit clamp. ``kq`` = 1024 * ceil(k/1024)
+    the scene box for the t_limit exit clamp. ``kq`` = 128 * ceil(k/128)
     so positions decompose as (summary bit)*1024 + (word bit)*32 + bit.
     """
     pos = np.asarray(positions, np.float32)
@@ -226,7 +230,7 @@ def pack_walk(tri: dict, normals_flat, model, positions) -> dict:
     # (all-axes-crossing blocks may pass pads; they fetch slot 0, harmless).
     cb_lo = cmin[perm2].astype(np.float32)
     cb_hi = cmax[perm2].astype(np.float32)
-    kq = ((k + 1023) // 1024) * 1024
+    kq = ((k + 127) // 128) * 128
     cb_oct = np.full((8, 6, kq), 2.0e30, np.float32)
     ord_pad = np.zeros((8, kq), np.int32)
     for o in range(8):
@@ -271,7 +275,7 @@ def _pad_part_tables(e: dict, kmax: int) -> dict:
     k = e["w"].shape[1] // (2 * CH_W)
     if k == kmax:
         return e
-    kq = ((kmax + 1023) // 1024) * 1024
+    kq = ((kmax + 127) // 128) * 128
     w = np.zeros((8, kmax * 2 * CH_W), np.float32)
     w[:, : k * 2 * CH_W] = e["w"]
     cb = np.full((8, 6, kq), 2.0e30, np.float32)
@@ -466,7 +470,15 @@ def _build_mask(eng, origin_pad, direction_pad, t_limit_pad):
         tent = jnp.where(ok, t_lo, _BIG)
 
     words_u = _pack_bits_mxu(ok)
-    s = kq // 1024
+    # kq is a multiple of 128 (not necessarily 1024): s = ceil(kq/1024)
+    # summary words, with the word mask zero-padded to s*32 so the
+    # summary pack and the kernels' [*, s*32] word layout stay uniform.
+    # Positions still decompose as (summary bit)*1024 + (word bit)*32 + b;
+    # pad words are zero so their summary bits never set.
+    s = -(-kq // 1024)
+    nw = kq // 32
+    if nw < s * 32:
+        words_u = jnp.pad(words_u, ((0, 0), (0, s * 32 - nw)))
     summ_u = _pack_bits_mxu(words_u != 0)
     words = jax.lax.bitcast_convert_type(words_u, jnp.int32)
     summ = jax.lax.bitcast_convert_type(summ_u, jnp.int32)
@@ -475,8 +487,10 @@ def _build_mask(eng, origin_pad, direction_pad, t_limit_pad):
     # (or summary) with ONE compare instead of 32 (1024); skipping a level
     # is sound iff EVERY entry in it would individually skip, which a min
     # lower-bound guarantees (bit-identical visit sequence)
-    wtent = jnp.min(tent.reshape(nb, kq // 32, 32), axis=2)
-    stent = jnp.min(wtent.reshape(nb, s, 32), axis=2)
+    wtent = jnp.min(tent.reshape(nb, nw, 32), axis=2)
+    wtent_p = (jnp.pad(wtent, ((0, 0), (0, s * 32 - nw)),
+                       constant_values=_BIG) if nw < s * 32 else wtent)
+    stent = jnp.min(wtent_p.reshape(nb, s, 32), axis=2)
     return summ, words, tent, oct_b, wtent, stent
 
 
@@ -600,7 +614,8 @@ def _win_admits(te, win):
 
 
 def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False,
-               read_wtent=None, read_stent=None, lst_ref=None):
+               read_wtent=None, read_stent=None, lst_ref=None,
+               test=None, read_tent=None, smin_ref=None):
     """Drive ``visit(pos, win) -> win`` over every set bit of the two-level
     mask in ascending (front-to-back) position order, threading the live
     window. ``read_summ(sw)``/``read_word(wi)`` fetch mask words from SMEM.
@@ -612,33 +627,43 @@ def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False,
     window-skipped individually (same inequality), so the visit sequence
     is bit-identical, just cheaper to stream.
 
-    ``lst_ref`` (SMEM i32 scratch, capacity >= total listed bits) switches
-    to FLAT mode — MEASURED 2026-08-19 (v5e, 65536 camera rays x 74K tris):
-    a vector-op visit body nested inside these three while/cond levels
-    costs ~40-47 us PER VISIT (Mosaic re-establishes vector state at every
-    nested boundary), while the identical body in a single flat loop costs
-    ~0.4-0.9 us — the difference between 0.2 and ~20+ Mrays/s end-to-end.
-    Flat mode therefore (1) decodes the set-bit positions with this same
-    nested scan but a PURE-SCALAR body (scalar-only nesting measured free)
-    into ``lst_ref``, pruning word/summary levels against the INITIAL
-    window only, then (2) runs ``visit`` in ONE while loop over the list.
-    The per-entry ``visit`` cond still applies the LIVE window, so the
-    sequence of chunks actually TESTED (and every f32 result) is
-    bit-identical to the nested scan; the only difference is that entries
-    a LIVE word/summary skip would have pruned get individually
-    cond-skipped at ~0.5 us each."""
+    ``lst_ref`` (+ ``test``/``read_tent``/``smin_ref``) switches to FLAT
+    mode — MEASURED 2026-08-19 (v5e, 65536 camera rays x 74K tris): a
+    vector-op visit body nested inside these three while/cond levels costs
+    ~40-47 us PER VISIT (Mosaic re-establishes vector state at every
+    nested boundary), and even ONE lax.cond around the body in a flat loop
+    costs ~3 us, while the bare body costs ~0.4-0.9 us. Flat mode
+    therefore (1) decodes the set-bit positions with this same nested scan
+    but a PURE-SCALAR body (scalar-only nesting measured free) into
+    ``lst_ref``, pruning word/summary levels AND individual entries
+    against the INITIAL window, recording the suffix-min of entry t in
+    ``smin_ref`` (capacity cnt+1; sentinel +BIG), then (2) runs the RAW
+    ``test(pos, win)`` body — no per-entry cond — in ONE while loop whose
+    condition stops when ``smin_ref[i]`` fails the LIVE window admit test
+    (sound: the suffix min failing means every remaining entry fails).
+
+    The set of chunks tested differs from the nested scan (an entry the
+    live window would skip mid-list is still tested), but the OUTPUT is
+    bit-identical: a chunk entry with te > win cannot update any lane —
+    te lower-bounds every hit t in the chunk, and te > win >= min(m_lane,
+    tlim_lane) means the hit either fails the t < tlim test or loses the
+    strict rowmin < m comparison; the threaded window is a pure function
+    of the unchanged accumulators."""
     if lst_ref is not None:
         cnt = _decode_mask(read_summ, read_word, s, win0,
-                           read_wtent, read_stent, lst_ref)
+                           read_wtent, read_stent, lst_ref,
+                           read_tent, smin_ref)
 
         def flat_cond(c):
+            i, win = c
+            live = _win_admits(smin_ref[i], win)
             if early_exit:
-                return (c[0] < cnt) & (c[1] > 0.0)
-            return c[0] < cnt
+                return (i < cnt) & live & (win > 0.0)
+            return (i < cnt) & live
 
         def flat_body(c):
             i, win = c
-            return i + 1, visit(lst_ref[i], win)
+            return i + 1, test(lst_ref[i], win)
 
         return jax.lax.while_loop(flat_cond, flat_body, (0, win0))[1]
 
@@ -701,11 +726,15 @@ def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False,
 
 
 def _decode_mask(read_summ, read_word, s, win0, read_wtent, read_stent,
-                 lst_ref):
+                 lst_ref, read_tent=None, smin_ref=None):
     """Pure-scalar pass of the nested bit scan: write each set-bit position
     (ascending order) into ``lst_ref``; return the count. Word/summary
-    min-tent levels prune against the INITIAL window (sound lower bound of
-    every live window the flat visit loop will hold)."""
+    min-tent levels AND (when ``read_tent`` is given) individual entries
+    prune against the INITIAL window — a sound lower bound of every live
+    window the flat visit loop will hold. ``smin_ref`` (when given)
+    receives the suffix-min of listed entry t values (backward pass) plus
+    a +BIG sentinel at index cnt, enabling a sound live-window STOP in the
+    flat loop (capacity must be >= cnt + 1)."""
 
     def outer_body(c):
         sw, cnt = c
@@ -721,8 +750,22 @@ def _decode_mask(read_summ, read_word, s, win0, read_wtent, read_stent,
                     word, cnt = ccc
                     wb = word & -word
                     bi = _ilog2(wb)
-                    lst_ref[cnt] = widx * 32 + bi
-                    return word & (word - 1), cnt + 1
+                    p = widx * 32 + bi
+                    if read_tent is None:
+                        lst_ref[cnt] = p
+                        cnt = cnt + 1
+                    else:
+                        te = read_tent(p)
+
+                        def put(n):
+                            lst_ref[n] = p
+                            smin_ref[n] = te
+                            return n + 1
+
+                        cnt = jax.lax.cond(
+                            _win_admits(te, win0), put, lambda n: n, cnt
+                        )
+                    return word & (word - 1), cnt
 
                 return jax.lax.while_loop(
                     lambda ccc: ccc[0] != 0, word_body, (read_word(widx), cnt)
@@ -751,15 +794,28 @@ def _decode_mask(read_summ, read_word, s, win0, read_wtent, read_stent,
             )
         return sw + 1, cnt
 
-    return jax.lax.while_loop(
+    cnt = jax.lax.while_loop(
         lambda c: c[0] < s, outer_body, (0, 0)
     )[1]
+    if smin_ref is not None:
+        smin_ref[cnt] = jnp.float32(_BIG)  # sentinel: i == cnt never admits
+
+        def back_body(c):
+            i, run = c
+            run = jnp.minimum(run, smin_ref[i])
+            smin_ref[i] = run
+            return i - 1, run
+
+        jax.lax.while_loop(
+            lambda c: c[0] >= 0, back_body, (cnt - 1, jnp.float32(_BIG))
+        )
+    return cnt
 
 
 def _walk_closest_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
-    ord_ref, w_hbm, out_ref, stat_ref, wv, m_ref, c_ref, lst_ref, sem_w,
-    *, s, gblk, winup, counters, lskip, flat,
+    ord_ref, w_hbm, out_ref, stat_ref, wv, m_ref, c_ref, lst_ref, smin_ref,
+    sem_w, *, s, gblk, winup, counters, lskip, flat,
 ):
     """Streamed ordered closest hit for ``gblk`` ray blocks per grid step
     (batching amortizes per-step pipeline overhead). Output block
@@ -789,37 +845,39 @@ def _walk_closest_kernel(
         c_ref[...] = jnp.full((SBLK, 1), -1.0, jnp.float32)
         oct = oct_ref[0, g, 0]
 
+        def test(p, win):
+            if counters:
+                stat_ref[1] = stat_ref[1] + 1
+            c = ord_ref[oct, p]
+            tm = _chunk_t(wv, rc, c, tlim, eps)
+            # reduce this chunk to per-ray (t, winner-lane) right away:
+            # the accumulators stay [SBLK, 1], so per-block init/merge
+            # cost no longer scales with CH_W
+            rowmin = jnp.min(tm, axis=1, keepdims=True)
+            lane = jnp.min(
+                jnp.where(tm == rowmin, lane_row, _BIG),
+                axis=1, keepdims=True,
+            )
+            gid = c.astype(jnp.float32) * chf + lane
+            upd = rowmin < m_ref[...]
+            c_ref[...] = jnp.where(upd, gid, c_ref[...])
+            m_ref[...] = jnp.where(upd, rowmin, m_ref[...])
+            if not winup:
+                return win
+            win2 = jnp.max(jnp.minimum(m_ref[...], tlim))
+            return jnp.minimum(win, win2)
+
         def visit(p, win):
             te = tent_ref[0, g, p]
-
-            def test(win):
-                if counters:
-                    stat_ref[1] = stat_ref[1] + 1
-                c = ord_ref[oct, p]
-                tm = _chunk_t(wv, rc, c, tlim, eps)
-                # reduce this chunk to per-ray (t, winner-lane) right away:
-                # the accumulators stay [SBLK, 1], so per-block init/merge
-                # cost no longer scales with CH_W
-                rowmin = jnp.min(tm, axis=1, keepdims=True)
-                lane = jnp.min(
-                    jnp.where(tm == rowmin, lane_row, _BIG),
-                    axis=1, keepdims=True,
-                )
-                gid = c.astype(jnp.float32) * chf + lane
-                upd = rowmin < m_ref[...]
-                c_ref[...] = jnp.where(upd, gid, c_ref[...])
-                m_ref[...] = jnp.where(upd, rowmin, m_ref[...])
-                if not winup:
-                    return win
-                win2 = jnp.max(jnp.minimum(m_ref[...], tlim))
-                return jnp.minimum(win, win2)
 
             def skip(win):
                 if counters:
                     stat_ref[2] = stat_ref[2] + 1
                 return win
 
-            return jax.lax.cond(_win_admits(te, win), test, skip, win)
+            return jax.lax.cond(
+                _win_admits(te, win), lambda w: test(p, w), skip, win
+            )
 
         _scan_mask(
             lambda sw: summ_ref[0, g, sw],
@@ -828,6 +886,9 @@ def _walk_closest_kernel(
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
             lst_ref=lst_ref if flat else None,
+            test=test if flat else None,
+            read_tent=(lambda p: tent_ref[0, g, p]) if flat else None,
+            smin_ref=smin_ref if flat else None,
         )
 
         t_p = m_ref[...]
@@ -845,7 +906,7 @@ def _walk_closest_kernel(
 
 def _walk_any_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
-    ord_ref, w_hbm, out_ref, wv, occ_ref, lst_ref, sem_w,
+    ord_ref, w_hbm, out_ref, wv, occ_ref, lst_ref, smin_ref, sem_w,
     *, s, gblk, lskip, flat,
 ):
     """Streamed any-hit (shadow) test, ``gblk`` blocks per grid step:
@@ -863,22 +924,23 @@ def _walk_any_kernel(
         occ_ref[...] = jnp.zeros((SBLK, 1), jnp.float32)
         oct = oct_ref[0, g, 0]
 
+        def test(p, win):
+            c = ord_ref[oct, p]
+            det, td, ud, vd = _chunk_terms(wv, rc, c)
+            c1 = _same(td - det * eps, det * tlim - td)
+            c2 = _same(ud, det - ud)
+            c3 = _same(vd, det - ud - vd)
+            ok = c1 & c2 & c3 & (det != 0.0)
+            hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
+            occ_ref[...] = jnp.maximum(occ_ref[...], hit)
+            win2 = jnp.max(jnp.where(occ_ref[...] > 0.5, 0.0, tlim))
+            return jnp.minimum(win, win2)
+
         def visit(p, win):
             te = tent_ref[0, g, p]
-
-            def test(win):
-                c = ord_ref[oct, p]
-                det, td, ud, vd = _chunk_terms(wv, rc, c)
-                c1 = _same(td - det * eps, det * tlim - td)
-                c2 = _same(ud, det - ud)
-                c3 = _same(vd, det - ud - vd)
-                ok = c1 & c2 & c3 & (det != 0.0)
-                hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
-                occ_ref[...] = jnp.maximum(occ_ref[...], hit)
-                win2 = jnp.max(jnp.where(occ_ref[...] > 0.5, 0.0, tlim))
-                return jnp.minimum(win, win2)
-
-            return jax.lax.cond(_win_admits(te, win), test, lambda w: w, win)
+            return jax.lax.cond(
+                _win_admits(te, win), lambda w: test(p, w), lambda w: w, win
+            )
 
         _scan_mask(
             lambda sw: summ_ref[0, g, sw],
@@ -887,6 +949,9 @@ def _walk_any_kernel(
             read_wtent=(lambda wi: wtent_ref[0, g, wi]) if lskip else None,
             read_stent=(lambda sw: stent_ref[0, g, sw]) if lskip else None,
             lst_ref=lst_ref if flat else None,
+            test=test if flat else None,
+            read_tent=(lambda p: tent_ref[0, g, p]) if flat else None,
+            smin_ref=smin_ref if flat else None,
         )
         out_ref[0, g, :, 0:1] = occ_ref[...]
 
@@ -983,6 +1048,7 @@ def _walk_closest_call(eng, origin, direction, t_limit, interpret,
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.SMEM((kq,), jnp.int32),
+            pltpu.SMEM((kq + 1,), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -1033,6 +1099,7 @@ def _walk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
             pltpu.VMEM(w.shape, jnp.float32),
             pltpu.VMEM((SBLK, 1), jnp.float32),
             pltpu.SMEM((kq,), jnp.int32),
+            pltpu.SMEM((kq + 1,), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -1123,7 +1190,46 @@ def _coherence_order(eng, origin, direction, t_limit):
         & jnp.isfinite(direction).all(axis=1)
     )
     key = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), key)
+    if WALK_SORT == 2:
+        return _radix_order(key, WALK_SORT_BITS)
     return jnp.argsort(key)
+
+
+def _radix_order(key, bits):
+    """Stable counting sort of u32 keys on their TOP ``bits`` bits —
+    O(n * 2^bits / tile) vectorized histogram work instead of XLA's
+    O(n log^2 n) bitonic comparator network (measured 52 ms for a full
+    argsort of 262K keys on v5e; this path is a few ms at 9 bits).
+
+    Grouping rays into 2^bits coherence buckets is all the kernel's block
+    gates need — the key's low bits only refine WITHIN-block ordering,
+    and within a bucket the original (pixel-major) order is itself
+    coherent, which a stable sort preserves. All arithmetic is exact:
+    one-hot histograms hold integer counts < 2^24 in f32, and the scans
+    add integers."""
+    n = key.shape[0]
+    nb = 1 << bits
+    tile = 512 if n % 512 == 0 else (128 if n % 128 == 0 else None)
+    if tile is None:  # ragged tail: fall back (correctness over speed)
+        return jnp.argsort(key)
+    t_cnt = n // tile
+    b = (key >> jnp.uint32(32 - bits)).astype(jnp.int32).reshape(t_cnt, tile)
+    oh = jax.nn.one_hot(b, nb, dtype=jnp.float32)        # [T, tile, nb]
+    # rank of each row within (tile, bucket): exclusive running count
+    intra = jnp.cumsum(oh, axis=1) - oh                   # [T, tile, nb]
+    intra = jnp.take_along_axis(
+        intra, b[:, :, None], axis=2)[:, :, 0]           # [T, tile]
+    hist = jnp.sum(oh, axis=1)                            # [T, nb]
+    # exclusive scan over tiles per bucket + exclusive bucket bases
+    tpre = jnp.cumsum(hist, axis=0) - hist                # [T, nb]
+    total = jnp.sum(hist, axis=0)                         # [nb]
+    base = jnp.cumsum(total) - total                      # [nb]
+    pos = (base[b] + tpre[jnp.arange(t_cnt)[:, None], b] + intra)
+    pos = pos.reshape(n).astype(jnp.int32)
+    # order[pos[i]] = i  (pos is a permutation: scatter of unique indices)
+    return jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True, mode="drop"
+    )
 
 
 # ---------------------------------------------------------------------------
