@@ -838,6 +838,21 @@ def render_film(
     # lanes) to 1024-lane waves — destroying both per-dispatch overhead
     # amortization and bounce-block coherence for every engine at 1080p.
     tile = min(tile_lanes, n)
+    # Bound the DURATION of one device dispatch: the TPU watchdog kills the
+    # worker process when a single program execution runs too long (~1 min
+    # observed on this platform), and a big tile x large spp on a BVH-scale
+    # walk scene can exceed that in ONE trace_lanes call. Splitting the
+    # sample range across dispatches is bit-faithful BY DESIGN (same
+    # non-static-spp executable; the checkpoint/resume machinery already
+    # guarantees identical sums under any sample split). Walk-class engines
+    # default to 8 spp per dispatch; the compile-time streams and small
+    # dense tiles stay unbounded (their dispatches are short).
+    walk_class = ("walk" in scene["tri"]
+                  or "iwalk" in scene.get("twolevel", {}))
+    spp_batch = int(os.environ.get("PT_SPP_BATCH",
+                                   "8" if walk_class else "0"))
+    if spp_batch <= 0:
+        spp_batch = spp
     # NOTE: ``spp`` is deliberately NOT static — it only feeds the traced
     # regeneration limit, so one executable serves every spp. That makes
     # checkpoint/resume bit-faithful for ANY split of the sample range (all
@@ -855,16 +870,21 @@ def render_film(
     for off in range(0, n, tile):
         size = min(tile, n - off)
         lane = jnp.uint32(off) + jnp.arange(size, dtype=jnp.uint32)
-        rad, _, _, rays = jit_trace(
-            scene, ndc_to_world, cam_origin, base_sample, lane, width, height,
-            max_bounces=max_bounces, enable_nee=enable_nee,
-            has_lights=has_lights, spp=spp, mtypes=mtypes,
-            any_volumes=any_volumes, steps_per_iter=steps_per_iter,
-            consistent_ggx=consistent_ggx, pool=pool,
-            aperture=aperture, focus=focus, cam_basis=cam_basis,
-        )
+        rad = None
+        for s0 in range(0, spp, spp_batch):
+            cur = min(spp_batch, spp - s0)
+            rad_i, _, _, rays = jit_trace(
+                scene, ndc_to_world, cam_origin, base_sample + s0, lane,
+                width, height,
+                max_bounces=max_bounces, enable_nee=enable_nee,
+                has_lights=has_lights, spp=cur, mtypes=mtypes,
+                any_volumes=any_volumes, steps_per_iter=steps_per_iter,
+                consistent_ggx=consistent_ggx, pool=pool,
+                aperture=aperture, focus=focus, cam_basis=cam_basis,
+            )
+            rad = rad_i if rad is None else rad + rad_i
+            rays_total = rays_total + jnp.sum(rays, axis=0)
         rads.append(rad)
-        rays_total = rays_total + jnp.sum(rays, axis=0)
     return jnp.concatenate(rads, axis=0), rays_total
 
 

@@ -341,7 +341,7 @@ def _iwalk_closest_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
     ord_ref, inst_f, inst_c, w_hbm, out_ref, wv, m_ref, c_ref, i_ref,
     lst_ref, smin_ref, sem_w,
-    *, s, gblk, lskip, flat,
+    *, s, gblk, lskip, flat, budget=None,
 ):
     """Output block [gblk*SBLK, 4]: best_t | winner slot (chunk*CH_W+lane,
     global across the concatenated model tables) | instance | pad."""
@@ -393,7 +393,7 @@ def _iwalk_closest_kernel(
                 _win_admits(te, win), lambda w: test(p, w), lambda w: w, win
             )
 
-        _scan_mask(
+        rem = _scan_mask(
             lambda sw: summ_ref[0, g, sw],
             lambda wi: words_ref[0, g, wi],
             s, visit, jnp.max(tlim),
@@ -403,13 +403,17 @@ def _iwalk_closest_kernel(
             test=test if flat else None,
             read_tent=(lambda p: tent_ref[0, g, p]) if flat else None,
             smin_ref=smin_ref if flat else None,
+            budget=budget,
         )
         t_p = m_ref[...]
         hit = t_p < _BIG
         out_ref[0, g, :, 0:1] = t_p
         out_ref[0, g, :, 1:2] = jnp.where(hit, c_ref[...], -1.0)
         out_ref[0, g, :, 2:3] = jnp.where(hit, i_ref[...], -1.0)
-        out_ref[0, g, :, 3:4] = jnp.zeros((SBLK, 1), jnp.float32)
+        if budget is not None:
+            out_ref[0, g, :, 3:4] = jnp.full((SBLK, 1), rem, jnp.float32)
+        else:
+            out_ref[0, g, :, 3:4] = jnp.zeros((SBLK, 1), jnp.float32)
 
     for g in range(gblk):  # static unroll — see _walk_closest_kernel
         g_body(g)
@@ -418,7 +422,7 @@ def _iwalk_closest_kernel(
 def _iwalk_any_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
     ord_ref, inst_f, inst_c, w_hbm, out_ref, wv, occ_ref, lst_ref, smin_ref,
-    sem_w, *, s, gblk, lskip, flat,
+    sem_w, *, s, gblk, lskip, flat, budget=None,
 ):
     _load_w(w_hbm, wv, sem_w)
     eps = jnp.float32(EPSILON)
@@ -483,9 +487,10 @@ def _iwalk_any_kernel(
 # jitted call wrappers
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("interpret", "lskip"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "lskip", "budget"))
 def _iwalk_closest_call(eng, origin, direction, t_limit, interpret,
-                        lskip=True):
+                        lskip=True, budget=None):
     from path_tracer_tpu.trace.walk import _exit_clamp
 
     w = eng["w"]
@@ -499,7 +504,7 @@ def _iwalk_closest_call(eng, origin, direction, t_limit, interpret,
     kq = tent.shape[1]
     out = pl.pallas_call(
         functools.partial(_iwalk_closest_kernel, s=s, gblk=G_BLK, lskip=lskip,
-                          flat=WALK_FLAT),
+                          flat=WALK_FLAT, budget=budget),
         grid=(nbg,),
         out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 4), jnp.float32),
         in_specs=[
@@ -541,8 +546,10 @@ def _iwalk_closest_call(eng, origin, direction, t_limit, interpret,
     return out.reshape(npad, 4)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "lskip"))
-def _iwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "lskip", "budget"))
+def _iwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True,
+                    budget=None):
     from path_tracer_tpu.trace.walk import _exit_clamp
 
     w = eng["w"]
@@ -554,11 +561,12 @@ def _iwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
     summ, words, tent, oct_b, wtent, stent = _build_mask(eng, o_p, d_p, tl_p)
     s = summ.shape[1]
     kq = tent.shape[1]
+    ocols = 1 if budget is None else 2
     out = pl.pallas_call(
         functools.partial(_iwalk_any_kernel, s=s, gblk=G_BLK, lskip=lskip,
-                          flat=WALK_FLAT),
+                          flat=WALK_FLAT, budget=budget),
         grid=(nbg,),
-        out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, ocols), jnp.float32),
         in_specs=[
             pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -573,7 +581,8 @@ def _iwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, G_BLK, SBLK, 1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, G_BLK, SBLK, ocols), lambda b: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM(w.shape, jnp.float32),
@@ -593,6 +602,8 @@ def _iwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
         rays_c.reshape(nbg, G_BLK, SBLK, 8),
         eng["ord_oct"], eng["inst_f"], eng["inst_c"], w,
     )
+    if budget is not None:
+        return out.reshape(npad, 2)[:n]
     return out.reshape(-1)[:n]
 
 
@@ -610,21 +621,25 @@ def _any_call_for(part):
     return _vwalk_any_call if "vinst" in part else _iwalk_any_call
 
 
-def _iclosest_parts(eng: dict, o_s, d_s, tl_s, interp):
+def _iclosest_parts(eng: dict, o_s, d_s, tl_s, interp, budget=None):
     """Part loop with one live t-window (see walk._closest_parts); columns
-    (best_t | global slot | instance | pad)."""
+    (best_t | global slot | instance | pad). With ``budget``, col 3 is the
+    MIN over parts of the unvisited-suffix bound."""
     parts = eng.get("parts")
     if parts is None:
         return _closest_call_for(eng)(eng, o_s, d_s, tl_s, interp,
-                                      lskip=WALK_LSKIP)
+                                      lskip=WALK_LSKIP, budget=budget)
     best = None
+    rem = None
     for pi, part in enumerate(parts):
         off = eng["slot_off"][pi]
         tl_i = tl_s if best is None else jnp.minimum(tl_s, best[:, 0])
         out = _closest_call_for(part)(part, o_s, d_s, tl_i, interp,
-                                      lskip=WALK_LSKIP)
+                                      lskip=WALK_LSKIP, budget=budget)
         hit_i = out[:, 0] < _BIG
         slot_i = jnp.where(hit_i, out[:, 1] + off, -1.0)
+        if budget is not None:
+            rem = out[:, 3] if rem is None else jnp.minimum(rem, out[:, 3])
         if best is None:
             best = jnp.stack([out[:, 0], slot_i, out[:, 2], out[:, 3]], axis=1)
         else:
@@ -635,21 +650,74 @@ def _iclosest_parts(eng: dict, o_s, d_s, tl_s, interp):
                  jnp.where(upd, out[:, 2], best[:, 2]),
                  best[:, 3]], axis=1,
             )
+    if budget is not None:
+        best = jnp.concatenate([best[:, :3], rem[:, None]], axis=1)
     return best
+
+
+def _ieng_multi(eng: dict) -> bool:
+    """Multi-pass gate for the two-level engines: total GATE entries
+    (virtual chunks for vwalk, instances for iwalk) across parts."""
+    from path_tracer_tpu.trace.walk import (
+        WALK_BUDGET, WALK_FLAT as _FLAT, WALK_MP_MIN, WALK_PASSES)
+
+    parts = eng.get("parts") or (eng,)
+    gates = sum(int(p["ord_oct"].shape[1]) for p in parts)
+    return (WALK_BUDGET > 0 and WALK_PASSES > 1 and _FLAT
+            and gates >= WALK_MP_MIN)
+
+
+def _iclosest_multi(eng: dict, origin, direction, t_limit, interp):
+    """Budgeted multi-pass two-level closest hit (see walk._closest_multi:
+    bit-identical to the single-pass scan). Returns [n, 4]."""
+    from path_tracer_tpu.trace.walk import WALK_BUDGET, WALK_PASSES
+
+    best = None
+    tl_cur = t_limit
+    for p in range(WALK_PASSES):
+        last = p == WALK_PASSES - 1
+        budget = None if last else WALK_BUDGET * (4 ** p)
+        if WALK_SORT:
+            order = _coherence_order(eng, origin, direction, tl_cur)
+            o_s, d_s, tl_s = origin[order], direction[order], tl_cur[order]
+        else:
+            o_s, d_s, tl_s = origin, direction, tl_cur
+        out = _iclosest_parts(eng, o_s, d_s, tl_s, interp, budget=budget)
+        if WALK_SORT:
+            out = _unsort_rows(out, order)
+        if best is None:
+            best = out[:, :3]
+        else:
+            upd = out[:, 0] < best[:, 0]
+            best = jnp.stack(
+                [jnp.where(upd, out[:, 0], best[:, 0]),
+                 jnp.where(upd, out[:, 1], best[:, 1]),
+                 jnp.where(upd, out[:, 2], best[:, 2])], axis=1,
+            )
+        if last:
+            break
+        lane_win = jnp.minimum(best[:, 0], tl_cur)
+        unresolved = _win_admits(out[:, 3], lane_win)
+        tl_cur = jnp.where(unresolved, lane_win, 0.0)
+    return jnp.concatenate(
+        [best, jnp.zeros((best.shape[0], 1), jnp.float32)], axis=1)
 
 
 def iwalk_closest_hit_shade(eng: dict, origin, direction, t_limit):
     """Closest hit through instances: ``(tri_idx, t, u, v, normal_world
     [N,3], model_id [N] i32, inst [N] i32)`` — tri_idx in the engine's
     global object-tri order."""
-    if WALK_SORT:
+    if _ieng_multi(eng):
+        out = _iclosest_multi(eng, origin, direction, t_limit,
+                              _interpret_default())
+    elif WALK_SORT:
         order = _coherence_order(eng, origin, direction, t_limit)
         o_s, d_s, tl_s = origin[order], direction[order], t_limit[order]
-    else:
-        o_s, d_s, tl_s = origin, direction, t_limit
-    out = _iclosest_parts(eng, o_s, d_s, tl_s, _interpret_default())
-    if WALK_SORT:
+        out = _iclosest_parts(eng, o_s, d_s, tl_s, _interpret_default())
         out = _unsort_rows(out, order)
+    else:
+        out = _iclosest_parts(eng, origin, direction, t_limit,
+                              _interpret_default())
     gl = out[:, 1].astype(jnp.int32)
     inst = out[:, 2].astype(jnp.int32)
     hit = gl >= 0
@@ -700,20 +768,64 @@ def iwalk_closest_hit_shade(eng: dict, origin, direction, t_limit):
     return orig, t, u, v, normal, model, inst
 
 
-def _iany_parts(eng: dict, o, d, tl, interp):
+def _iany_parts(eng: dict, o, d, tl, interp, budget=None):
     parts = eng.get("parts")
     if parts is None:
-        return _any_call_for(eng)(eng, o, d, tl, interp,
-                                  lskip=WALK_LSKIP) > 0.0
+        out = _any_call_for(eng)(eng, o, d, tl, interp,
+                                 lskip=WALK_LSKIP, budget=budget)
+        if budget is not None:
+            return out[:, 0] > 0.0, out[:, 1]
+        return out > 0.0
     occ = jnp.zeros(o.shape[0], bool)
+    rem = None
     for part in parts:
         tl_i = jnp.where(occ, 0.0, tl)
-        occ = occ | (_any_call_for(part)(part, o, d, tl_i, interp,
-                                         lskip=WALK_LSKIP) > 0.0)
+        out = _any_call_for(part)(part, o, d, tl_i, interp,
+                                  lskip=WALK_LSKIP, budget=budget)
+        if budget is not None:
+            occ = occ | (out[:, 0] > 0.0)
+            rem = out[:, 1] if rem is None else jnp.minimum(rem, out[:, 1])
+        else:
+            occ = occ | (out > 0.0)
+    if budget is not None:
+        return occ, rem
+    return occ
+
+
+def _iany_multi(eng: dict, origin, direction, t_limit, interp):
+    """Budgeted multi-pass two-level any-hit (see walk._any_multi)."""
+    from path_tracer_tpu.trace.walk import WALK_BUDGET, WALK_PASSES
+
+    occ = jnp.zeros(origin.shape[0], bool)
+    tl_cur = t_limit
+    for p in range(WALK_PASSES):
+        last = p == WALK_PASSES - 1
+        budget = None if last else WALK_BUDGET * (4 ** p)
+        if WALK_SORT_ANY:
+            order = _coherence_order(eng, origin, direction, tl_cur)
+            o_s, d_s, tl_s = origin[order], direction[order], tl_cur[order]
+        else:
+            o_s, d_s, tl_s = origin, direction, tl_cur
+        out = _iany_parts(eng, o_s, d_s, tl_s, interp, budget=budget)
+        if last:
+            occ_p = out
+            if WALK_SORT_ANY:
+                occ_p = _unsort_rows(occ_p, order)
+            return occ | occ_p
+        occ_p, rem = out
+        if WALK_SORT_ANY:
+            occ_p = _unsort_rows(occ_p, order)
+            rem = _unsort_rows(rem, order)
+        occ = occ | occ_p
+        unresolved = ~occ & _win_admits(rem, tl_cur)
+        tl_cur = jnp.where(unresolved, tl_cur, 0.0)
     return occ
 
 
 def iwalk_any_hit(eng: dict, origin, direction, t_limit):
+    if _ieng_multi(eng):
+        return _iany_multi(eng, origin, direction, t_limit,
+                           _interpret_default())
     if WALK_SORT_ANY:
         order = _coherence_order(eng, origin, direction, t_limit)
         out = _iany_parts(
@@ -931,7 +1043,7 @@ def _vwalk_closest_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
     ord_ref, vinst_ref, vchunk_ref, vglob_ref, inst_f, w_hbm,
     out_ref, wv, m_ref, c_ref, i_ref, lst_ref, smin_ref, sem_w,
-    *, s, gblk, lskip, flat,
+    *, s, gblk, lskip, flat, budget=None,
 ):
     """One gated visit = ONE object chunk of ONE instance. Output block
     [gblk*SBLK, 4]: best_t | object-global slot | instance | pad."""
@@ -975,7 +1087,7 @@ def _vwalk_closest_kernel(
                 _win_admits(te, win), lambda w: test(p, w), lambda w: w, win
             )
 
-        _scan_mask(
+        rem = _scan_mask(
             lambda sw: summ_ref[0, g, sw],
             lambda wi: words_ref[0, g, wi],
             s, visit, jnp.max(tlim),
@@ -985,13 +1097,17 @@ def _vwalk_closest_kernel(
             test=test if flat else None,
             read_tent=(lambda p: tent_ref[0, g, p]) if flat else None,
             smin_ref=smin_ref if flat else None,
+            budget=budget,
         )
         t_p = m_ref[...]
         hit = t_p < _BIG
         out_ref[0, g, :, 0:1] = t_p
         out_ref[0, g, :, 1:2] = jnp.where(hit, c_ref[...], -1.0)
         out_ref[0, g, :, 2:3] = jnp.where(hit, i_ref[...], -1.0)
-        out_ref[0, g, :, 3:4] = jnp.zeros((SBLK, 1), jnp.float32)
+        if budget is not None:
+            out_ref[0, g, :, 3:4] = jnp.full((SBLK, 1), rem, jnp.float32)
+        else:
+            out_ref[0, g, :, 3:4] = jnp.zeros((SBLK, 1), jnp.float32)
 
     for g in range(gblk):  # static unroll — see walk._walk_closest_kernel
         g_body(g)
@@ -1001,7 +1117,7 @@ def _vwalk_any_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
     ord_ref, vinst_ref, vchunk_ref, vglob_ref, inst_f, w_hbm,
     out_ref, wv, occ_ref, lst_ref, smin_ref, sem_w,
-    *, s, gblk, lskip, flat,
+    *, s, gblk, lskip, flat, budget=None,
 ):
     _load_w(w_hbm, wv, sem_w)
     eps = jnp.float32(EPSILON)
@@ -1035,7 +1151,7 @@ def _vwalk_any_kernel(
                 _win_admits(te, win), lambda w: test(p, w), lambda w: w, win
             )
 
-        _scan_mask(
+        rem = _scan_mask(
             lambda sw: summ_ref[0, g, sw],
             lambda wi: words_ref[0, g, wi],
             s, visit, jnp.max(tlim), early_exit=True,
@@ -1045,16 +1161,20 @@ def _vwalk_any_kernel(
             test=test if flat else None,
             read_tent=(lambda p: tent_ref[0, g, p]) if flat else None,
             smin_ref=smin_ref if flat else None,
+            budget=budget,
         )
         out_ref[0, g, :, 0:1] = occ_ref[...]
+        if budget is not None:
+            out_ref[0, g, :, 1:2] = jnp.full((SBLK, 1), rem, jnp.float32)
 
     for g in range(gblk):
         g_body(g)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "lskip"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "lskip", "budget"))
 def _vwalk_closest_call(eng, origin, direction, t_limit, interpret,
-                        lskip=True):
+                        lskip=True, budget=None):
     from path_tracer_tpu.trace.walk import _exit_clamp
 
     w = eng["w"]
@@ -1068,7 +1188,7 @@ def _vwalk_closest_call(eng, origin, direction, t_limit, interpret,
     kq = tent.shape[1]
     out = pl.pallas_call(
         functools.partial(_vwalk_closest_kernel, s=s, gblk=G_BLK, lskip=lskip,
-                          flat=WALK_FLAT),
+                          flat=WALK_FLAT, budget=budget),
         grid=(nbg,),
         out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 4), jnp.float32),
         in_specs=[
@@ -1113,8 +1233,10 @@ def _vwalk_closest_call(eng, origin, direction, t_limit, interpret,
     return out.reshape(npad, 4)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "lskip"))
-def _vwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "lskip", "budget"))
+def _vwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True,
+                    budget=None):
     from path_tracer_tpu.trace.walk import _exit_clamp
 
     w = eng["w"]
@@ -1126,11 +1248,12 @@ def _vwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
     summ, words, tent, oct_b, wtent, stent = _build_mask(eng, o_p, d_p, tl_p)
     s = summ.shape[1]
     kq = tent.shape[1]
+    ocols = 1 if budget is None else 2
     out = pl.pallas_call(
         functools.partial(_vwalk_any_kernel, s=s, gblk=G_BLK, lskip=lskip,
-                          flat=WALK_FLAT),
+                          flat=WALK_FLAT, budget=budget),
         grid=(nbg,),
-        out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, ocols), jnp.float32),
         in_specs=[
             pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -1147,7 +1270,8 @@ def _vwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, G_BLK, SBLK, 1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, G_BLK, SBLK, ocols), lambda b: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM(w.shape, jnp.float32),
@@ -1168,4 +1292,6 @@ def _vwalk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
         eng["ord_oct"], eng["vinst"], eng["vchunk"], eng["vglob"],
         eng["inst_f"], w,
     )
+    if budget is not None:
+        return out.reshape(npad, 2)[:n]
     return out.reshape(-1)[:n]

@@ -615,7 +615,7 @@ def _win_admits(te, win):
 
 def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False,
                read_wtent=None, read_stent=None, lst_ref=None,
-               test=None, read_tent=None, smin_ref=None):
+               test=None, read_tent=None, smin_ref=None, budget=None):
     """Drive ``visit(pos, win) -> win`` over every set bit of the two-level
     mask in ascending (front-to-back) position order, threading the live
     window. ``read_summ(sw)``/``read_word(wi)`` fetch mask words from SMEM.
@@ -653,19 +653,25 @@ def _scan_mask(read_summ, read_word, s, visit, win0, early_exit=False,
         cnt = _decode_mask(read_summ, read_word, s, win0,
                            read_wtent, read_stent, lst_ref,
                            read_tent, smin_ref)
+        stop = cnt if budget is None else jnp.minimum(cnt, budget)
 
         def flat_cond(c):
             i, win = c
             live = _win_admits(smin_ref[i], win)
             if early_exit:
-                return (i < cnt) & live & (win > 0.0)
-            return (i < cnt) & live
+                return (i < stop) & live & (win > 0.0)
+            return (i < stop) & live
 
         def flat_body(c):
             i, win = c
             return i + 1, test(lst_ref[i], win)
 
-        return jax.lax.while_loop(flat_cond, flat_body, (0, win0))[1]
+        i_end, win = jax.lax.while_loop(flat_cond, flat_body, (0, win0))
+        # suffix-min of the UNVISITED tail: +BIG when the list was fully
+        # consumed (sentinel), the budgeted-pass resolution bound otherwise
+        # (a lane whose own window fails the admit test against this value
+        # provably cannot improve — same inequality as the nested skip)
+        return smin_ref[i_end]
 
     def live_cond(c):
         if early_exit:
@@ -815,7 +821,7 @@ def _decode_mask(read_summ, read_word, s, win0, read_wtent, read_stent,
 def _walk_closest_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
     ord_ref, w_hbm, out_ref, stat_ref, wv, m_ref, c_ref, lst_ref, smin_ref,
-    sem_w, *, s, gblk, winup, counters, lskip, flat,
+    sem_w, *, s, gblk, winup, counters, lskip, flat, budget=None,
 ):
     """Streamed ordered closest hit for ``gblk`` ray blocks per grid step
     (batching amortizes per-step pipeline overhead). Output block
@@ -879,7 +885,7 @@ def _walk_closest_kernel(
                 _win_admits(te, win), lambda w: test(p, w), skip, win
             )
 
-        _scan_mask(
+        rem = _scan_mask(
             lambda sw: summ_ref[0, g, sw],
             lambda wi: words_ref[0, g, wi],
             s, visit, jnp.max(tlim),
@@ -889,12 +895,18 @@ def _walk_closest_kernel(
             test=test if flat else None,
             read_tent=(lambda p: tent_ref[0, g, p]) if flat else None,
             smin_ref=smin_ref if flat else None,
+            budget=budget,
         )
 
         t_p = m_ref[...]
         g_p = jnp.where(t_p < _BIG, c_ref[...], -1.0)
         out_ref[0, g, :, 0:1] = t_p
         out_ref[0, g, :, 1:2] = g_p
+        if budget is not None:
+            # resolution bound for the budgeted multi-pass driver: no
+            # unvisited chunk can yield a hit below this t for any lane
+            out_ref[0, g, :, 2:3] = jnp.full((SBLK, 1), rem, jnp.float32)
+            out_ref[0, g, :, 3:4] = jnp.zeros((SBLK, 1), jnp.float32)
 
     # STATIC unroll: dynamic (fori) indices into block refs miscompile on
     # Mosaic (silent corruption of dynamically-indexed stores, observed on
@@ -907,7 +919,7 @@ def _walk_closest_kernel(
 def _walk_any_kernel(
     summ_ref, words_ref, tent_ref, wtent_ref, stent_ref, oct_ref, rays_ref,
     ord_ref, w_hbm, out_ref, wv, occ_ref, lst_ref, smin_ref, sem_w,
-    *, s, gblk, lskip, flat,
+    *, s, gblk, lskip, flat, budget=None,
 ):
     """Streamed any-hit (shadow) test, ``gblk`` blocks per grid step:
     out [gblk*SBLK, 1] > 0 iff occluded. Early-exits a block once every
@@ -942,7 +954,7 @@ def _walk_any_kernel(
                 _win_admits(te, win), lambda w: test(p, w), lambda w: w, win
             )
 
-        _scan_mask(
+        rem = _scan_mask(
             lambda sw: summ_ref[0, g, sw],
             lambda wi: words_ref[0, g, wi],
             s, visit, jnp.max(tlim), early_exit=True,
@@ -952,8 +964,11 @@ def _walk_any_kernel(
             test=test if flat else None,
             read_tent=(lambda p: tent_ref[0, g, p]) if flat else None,
             smin_ref=smin_ref if flat else None,
+            budget=budget,
         )
         out_ref[0, g, :, 0:1] = occ_ref[...]
+        if budget is not None:
+            out_ref[0, g, :, 1:2] = jnp.full((SBLK, 1), rem, jnp.float32)
 
     for g in range(gblk):  # static unroll — see _walk_closest_kernel
         g_body(g, 0)
@@ -972,6 +987,30 @@ WALK_LSKIP = _os.environ.get("PT_WALK_LSKIP", "1") != "0"
 # flat scan mode (decode-then-flat-visit; see _scan_mask) — ~50x per-visit
 # cost on hardware; PT_WALK_FLAT=0 restores the nested scan for A/B
 WALK_FLAT = _os.environ.get("PT_WALK_FLAT", "1") != "0"
+# Budgeted multi-pass tracing for BVH-scale scenes (total chunks >
+# PT_WALK_MP_MIN): pass p visits at most BUDGET * 4^p front-to-back chunks
+# per block, then lanes PROVEN resolved (their window fails the admit test
+# against the unvisited suffix-min the kernel reports) are deadened and the
+# survivors re-sorted into fresh, tighter blocks. Incoherent bounce blocks
+# stop paying for their worst lane: one escaping ray no longer drags 127
+# resolved neighbours through the whole scene. Outputs are bit-identical
+# to the single-pass scan (chunk t values don't depend on the window; the
+# strict-< merge keeps the same winner; resolution uses the same admit
+# inequality as the in-kernel skip). PT_WALK_BUDGET=0 disables.
+WALK_BUDGET = int(_os.environ.get("PT_WALK_BUDGET", "96"))
+WALK_PASSES = int(_os.environ.get("PT_WALK_PASSES", "3"))
+WALK_MP_MIN = int(_os.environ.get("PT_WALK_MP_MIN", "512"))
+
+
+def _eng_chunks(eng: dict) -> int:
+    """Total chunk count of a (possibly multi-part) walk engine — static."""
+    parts = eng.get("parts") or (eng,)
+    return sum(p["w"].shape[1] // (2 * CH_W) for p in parts)
+
+
+def _multi_pass(eng) -> bool:
+    return (WALK_BUDGET > 0 and WALK_PASSES > 1 and WALK_FLAT
+            and _eng_chunks(eng) >= WALK_MP_MIN)
 
 
 def _pack_rays_cols(origin, direction, t_limit):
@@ -1007,9 +1046,10 @@ def _pad_all(origin, direction, t_limit, npad, n):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "winup", "counters", "lskip"))
+    jax.jit,
+    static_argnames=("interpret", "winup", "counters", "lskip", "budget"))
 def _walk_closest_call(eng, origin, direction, t_limit, interpret,
-                       winup=True, counters=False, lskip=True):
+                       winup=True, counters=False, lskip=True, budget=None):
     w = eng["w"]
     t_limit = _exit_clamp(eng, origin, direction, t_limit)
     rays_c, n = _pack_rays_cols(origin, direction, t_limit)
@@ -1020,12 +1060,14 @@ def _walk_closest_call(eng, origin, direction, t_limit, interpret,
     summ, words, tent, oct_b, wtent, stent = _build_mask(eng, o_p, d_p, tl_p)
     s = summ.shape[1]
     kq = tent.shape[1]
+    ocols = 2 if budget is None else 4
     out, stat = pl.pallas_call(
         functools.partial(_walk_closest_kernel, s=s, gblk=G_BLK, winup=winup,
-                          counters=counters, lskip=lskip, flat=WALK_FLAT),
+                          counters=counters, lskip=lskip, flat=WALK_FLAT,
+                          budget=budget),
         grid=(nbg,),
         out_shape=(
-            jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 2), jnp.float32),
+            jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, ocols), jnp.float32),
             jax.ShapeDtypeStruct((8,), jnp.int32),
         ),
         in_specs=[
@@ -1040,7 +1082,7 @@ def _walk_closest_call(eng, origin, direction, t_limit, interpret,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=(
-            pl.BlockSpec((1, G_BLK, SBLK, 2), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G_BLK, SBLK, ocols), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
@@ -1061,11 +1103,13 @@ def _walk_closest_call(eng, origin, direction, t_limit, interpret,
         oct_b.reshape(nbg, G_BLK, 1),
         rays_c.reshape(nbg, G_BLK, SBLK, 8), eng["ord_oct"], w,
     )
-    return out.reshape(npad, 2)[:n], stat
+    return out.reshape(npad, ocols)[:n], stat
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "lskip"))
-def _walk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "lskip", "budget"))
+def _walk_any_call(eng, origin, direction, t_limit, interpret, lskip=True,
+                   budget=None):
     w = eng["w"]
     t_limit = _exit_clamp(eng, origin, direction, t_limit)
     rays_c, n = _pack_rays_cols(origin, direction, t_limit)
@@ -1076,11 +1120,12 @@ def _walk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
     summ, words, tent, oct_b, wtent, stent = _build_mask(eng, o_p, d_p, tl_p)
     s = summ.shape[1]
     kq = tent.shape[1]
+    ocols = 1 if budget is None else 2
     out = pl.pallas_call(
         functools.partial(_walk_any_kernel, s=s, gblk=G_BLK, lskip=lskip,
-                          flat=WALK_FLAT),
+                          flat=WALK_FLAT, budget=budget),
         grid=(nbg,),
-        out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbg, G_BLK, SBLK, ocols), jnp.float32),
         in_specs=[
             pl.BlockSpec((1, G_BLK, s), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G_BLK, s * 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -1093,7 +1138,8 @@ def _walk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, G_BLK, SBLK, 1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, G_BLK, SBLK, ocols), lambda b: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM(w.shape, jnp.float32),
@@ -1112,6 +1158,8 @@ def _walk_any_call(eng, origin, direction, t_limit, interpret, lskip=True):
         oct_b.reshape(nbg, G_BLK, 1),
         rays_c.reshape(nbg, G_BLK, SBLK, 8), eng["ord_oct"], w,
     )
+    if budget is not None:
+        return out.reshape(npad, 2)[:n]
     return out.reshape(-1)[:n]
 
 
@@ -1245,25 +1293,30 @@ def _unsort_rows(x, order):
     )
 
 
-def _closest_parts(eng: dict, o_s, d_s, tl_s, interp):
+def _closest_parts(eng: dict, o_s, d_s, tl_s, interp, budget=None):
     """Run the closest-hit kernel over every part, threading the live
     t-window: part i+1's t_limit is clamped to the best t so far, so hits
     found early cull later parts' chunk gates AND their in-kernel windows.
     Single-part engines skip the merge entirely. Returns [n, 2]
-    (best_t | global slot, -1 none)."""
+    (best_t | global slot, -1 none); with ``budget``, [n, 3] whose col 2
+    is the MIN over parts of the unvisited-suffix bound (no unvisited
+    chunk anywhere can yield a hit below it)."""
     parts = eng.get("parts")
     if parts is None:
         out, _ = _walk_closest_call(eng, o_s, d_s, tl_s, interp,
-                                    lskip=WALK_LSKIP)
-        return out
+                                    lskip=WALK_LSKIP, budget=budget)
+        return out[:, :3] if budget is not None else out
     best = None
+    rem = None
     for pi, part in enumerate(parts):
         off = eng["slot_off"][pi]
         tl_i = tl_s if best is None else jnp.minimum(tl_s, best[:, 0])
         out, _ = _walk_closest_call(part, o_s, d_s, tl_i, interp,
-                                    lskip=WALK_LSKIP)
+                                    lskip=WALK_LSKIP, budget=budget)
         hit_i = out[:, 0] < _BIG
         slot_i = jnp.where(hit_i, out[:, 1] + off, -1.0)
+        if budget is not None:
+            rem = out[:, 2] if rem is None else jnp.minimum(rem, out[:, 2])
         if best is None:
             best = jnp.stack([out[:, 0], slot_i], axis=1)
         else:
@@ -1274,20 +1327,65 @@ def _closest_parts(eng: dict, o_s, d_s, tl_s, interp):
                 [jnp.where(upd, out[:, 0], best[:, 0]),
                  jnp.where(upd, slot_i, best[:, 1])], axis=1,
             )
+    if budget is not None:
+        return jnp.concatenate([best, rem[:, None]], axis=1)
+    return best
+
+
+def _closest_multi(eng: dict, origin, direction, t_limit, interp):
+    """Budgeted multi-pass closest hit in ORIGINAL lane order (sorts per
+    pass — resolved lanes deaden, so survivors regroup into fresh tight
+    blocks). Bit-identical to the single-pass scan: chunk candidate-t
+    values don't depend on the traversal window, pass p+1 only admits
+    strictly-better hits (t_limit = current best), and the strict-< merge
+    preserves the front-to-back tie winner. Returns [n, 2]."""
+    best = None
+    tl_cur = t_limit
+    for p in range(WALK_PASSES):
+        last = p == WALK_PASSES - 1
+        budget = None if last else WALK_BUDGET * (4 ** p)
+        if WALK_SORT:
+            order = _coherence_order(eng, origin, direction, tl_cur)
+            o_s, d_s, tl_s = origin[order], direction[order], tl_cur[order]
+        else:
+            o_s, d_s, tl_s = origin, direction, tl_cur
+        out = _closest_parts(eng, o_s, d_s, tl_s, interp, budget=budget)
+        if WALK_SORT:
+            out = _unsort_rows(out, order)
+        if best is None:
+            best = out[:, :2]
+        else:
+            upd = out[:, 0] < best[:, 0]
+            best = jnp.stack(
+                [jnp.where(upd, out[:, 0], best[:, 0]),
+                 jnp.where(upd, out[:, 1], best[:, 1])], axis=1,
+            )
+        if last:
+            break
+        # a lane is PROVEN resolved when every unvisited chunk's entry t
+        # fails the admit test against its own window (same inequality as
+        # the in-kernel skip); survivors carry their current best as the
+        # next pass's t_limit (strictly-better hits only)
+        lane_win = jnp.minimum(best[:, 0], tl_cur)
+        unresolved = _win_admits(out[:, 2], lane_win)
+        tl_cur = jnp.where(unresolved, lane_win, 0.0)
     return best
 
 
 def walk_closest_hit_shade(eng: dict, origin, direction, t_limit):
     """Closest hit + shading attributes: ``(tri_idx, t, u, v, normal_raw
     [N,3], model_id [N] i32)`` — tri_idx in ORIGINAL soup order."""
-    if WALK_SORT:
+    if _multi_pass(eng):
+        out = _closest_multi(eng, origin, direction, t_limit,
+                             _interpret_default())
+    elif WALK_SORT:
         order = _coherence_order(eng, origin, direction, t_limit)
         o_s, d_s, tl_s = origin[order], direction[order], t_limit[order]
-    else:
-        o_s, d_s, tl_s = origin, direction, t_limit
-    out = _closest_parts(eng, o_s, d_s, tl_s, _interpret_default())
-    if WALK_SORT:
+        out = _closest_parts(eng, o_s, d_s, tl_s, _interpret_default())
         out = _unsort_rows(out, order)
+    else:
+        out = _closest_parts(eng, origin, direction, t_limit,
+                             _interpret_default())
     gl = out[:, 1].astype(jnp.int32)  # padded global slot
     hit = gl >= 0
     glc = jnp.maximum(gl, 0)
@@ -1365,21 +1463,69 @@ def walk_stats(eng: dict, origin, direction, t_limit, winup=True):
             "skipped": int(cnt[2])}
 
 
-def _any_parts(eng: dict, o, d, tl, interp):
+def _any_parts(eng: dict, o, d, tl, interp, budget=None):
     """Any-hit over every part; lanes occluded by an earlier part are
-    deadened (t_limit 0) for later parts — their blocks gate nothing in."""
+    deadened (t_limit 0) for later parts — their blocks gate nothing in.
+    With ``budget``: returns (occ, rem) where ``rem`` is the MIN over
+    parts of the unvisited-suffix bound."""
     parts = eng.get("parts")
     if parts is None:
-        return _walk_any_call(eng, o, d, tl, interp, lskip=WALK_LSKIP) > 0.0
+        out = _walk_any_call(eng, o, d, tl, interp, lskip=WALK_LSKIP,
+                             budget=budget)
+        if budget is not None:
+            return out[:, 0] > 0.0, out[:, 1]
+        return out > 0.0
     occ = jnp.zeros(o.shape[0], bool)
+    rem = None
     for part in parts:
         tl_i = jnp.where(occ, 0.0, tl)
-        occ = occ | (_walk_any_call(part, o, d, tl_i, interp,
-                                    lskip=WALK_LSKIP) > 0.0)
+        out = _walk_any_call(part, o, d, tl_i, interp, lskip=WALK_LSKIP,
+                             budget=budget)
+        if budget is not None:
+            occ = occ | (out[:, 0] > 0.0)
+            rem = out[:, 1] if rem is None else jnp.minimum(rem, out[:, 1])
+        else:
+            occ = occ | (out > 0.0)
+    if budget is not None:
+        return occ, rem
+    return occ
+
+
+def _any_multi(eng: dict, origin, direction, t_limit, interp):
+    """Budgeted multi-pass any-hit: resolved lanes (occluded, or proven
+    clear — every unvisited chunk's entry t beyond their t_limit) deaden
+    between passes; survivors re-sort into fresh blocks. Same result as
+    the single-pass scan (occlusion is monotone OR)."""
+    occ = jnp.zeros(origin.shape[0], bool)
+    tl_cur = t_limit
+    for p in range(WALK_PASSES):
+        last = p == WALK_PASSES - 1
+        budget = None if last else WALK_BUDGET * (4 ** p)
+        if WALK_SORT_ANY:
+            order = _coherence_order(eng, origin, direction, tl_cur)
+            o_s, d_s, tl_s = origin[order], direction[order], tl_cur[order]
+        else:
+            o_s, d_s, tl_s = origin, direction, tl_cur
+        out = _any_parts(eng, o_s, d_s, tl_s, interp, budget=budget)
+        if last:
+            occ_p = out
+            if WALK_SORT_ANY:
+                occ_p = _unsort_rows(occ_p, order)
+            return occ | occ_p
+        occ_p, rem = out
+        if WALK_SORT_ANY:
+            occ_p = _unsort_rows(occ_p, order)
+            rem = _unsort_rows(rem, order)
+        occ = occ | occ_p
+        unresolved = ~occ & _win_admits(rem, tl_cur)
+        tl_cur = jnp.where(unresolved, tl_cur, 0.0)
     return occ
 
 
 def walk_any_hit(eng: dict, origin, direction, t_limit):
+    if _multi_pass(eng):
+        return _any_multi(eng, origin, direction, t_limit,
+                          _interpret_default())
     if WALK_SORT_ANY:
         order = _coherence_order(eng, origin, direction, t_limit)
         out = _any_parts(
