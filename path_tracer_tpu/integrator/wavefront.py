@@ -741,12 +741,24 @@ def render_sample(
     with N = width*height.
     """
     lane = jnp.arange(width * height, dtype=jnp.uint32)
-    return trace_lanes(
+    # jit is load-bearing: the interactive frame loop calls this every
+    # frame, and an eager trace_lanes executes the wavefront op-by-op
+    # through the device tunnel (measured 15.5 s/frame at 1024x576 where
+    # the compiled program is sub-second)
+    return _render_sample_jit(
         scene, ndc_to_world, cam_origin, sample_id, lane, width, height,
         max_bounces=max_bounces, enable_nee=enable_nee, has_lights=has_lights,
         spp=spp, mtypes=mtypes, any_volumes=any_volumes,
         aperture=aperture, focus=focus, cam_basis=cam_basis,
     )
+
+
+_render_sample_jit = jax.jit(
+    trace_lanes,
+    static_argnames=("width", "height", "max_bounces", "enable_nee",
+                     "has_lights", "mtypes", "any_volumes", "steps_per_iter",
+                     "consistent_ggx", "pool", "aperture", "focus"),
+)
 
 
 # Film lanes traced per device dispatch, by engine (v5e measurements).

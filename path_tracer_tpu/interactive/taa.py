@@ -25,11 +25,13 @@ less-than.
 from __future__ import annotations
 
 import jax
+import jax as _jax
 import jax.numpy as jnp
 
 from path_tracer_tpu.core.tonemap import gt_tonemap
 
 
+@_jax.jit
 def accumulate(accumulation: jnp.ndarray, colour: jnp.ndarray) -> jnp.ndarray:
     """``accumulate.wgsl``: add (rgb, 1) to the running accumulation [H,W,4]."""
     rgb = colour[..., :3]
@@ -42,6 +44,7 @@ def w_divide(v: jnp.ndarray) -> jnp.ndarray:
     return v[..., :3] / jnp.maximum(v[..., 3:4], 1.0)
 
 
+@_jax.jit
 def compute_velocity(position: jnp.ndarray, last_world_to_clip: jnp.ndarray) -> jnp.ndarray:
     """``velocity.wgsl``: uv-space motion = current_uv - previous_uv.
 
@@ -143,6 +146,7 @@ def _sample_catmull_rom(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return c
 
 
+@_jax.jit
 def temporal_reproject(
     colour: jnp.ndarray,  # [H,W,4] current frame (rgb, depth-in-alpha quirk: 1.0)
     accumulation: jnp.ndarray,  # [H,W,4] history (rgb sum, count)
@@ -225,6 +229,7 @@ def temporal_reproject(
     return jnp.where(disoccluded[..., None], box, blended4)
 
 
+@_jax.jit
 def display_frame(accumulation: jnp.ndarray) -> jnp.ndarray:
     """``shader.wgsl`` fragment: rgb/alpha then GT tonemap. Returns [H,W,3]
     in [0,1] (pre-gamma, like the reference's sRGB surface handoff)."""
@@ -232,6 +237,7 @@ def display_frame(accumulation: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(gt_tonemap(resolved), 0.0, 1.0)
 
 
+@_jax.jit
 def pack_ids(prev_packed: jnp.ndarray, new_id: jnp.ndarray) -> jnp.ndarray:
     """Per-frame id packing ``(*id << 16) | new`` (main.rs:206)."""
     return (prev_packed << jnp.uint32(16)) | (new_id & jnp.uint32(0xFFFF))
