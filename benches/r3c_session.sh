@@ -1,0 +1,67 @@
+#!/bin/bash
+# Round-3 session C: re-prioritized follow-up on the final round-3 code.
+# Order = value/minute: oracle gate, interactive fps (jitted frame path),
+# multi-pass dragon decision numbers, small end-to-end dragon, two-level
+# config-5, then the expensive full-size rows and knob A/Bs.
+# Run: bash benches/r3c_session.sh [outdir]
+set -u -o pipefail
+OUT="${1:-/tmp/r3c}"
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+guard() {
+  for i in $(seq 1 24); do
+    if timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+      return 0
+    fi
+    echo "  (tpu probe $i/24 failed; waiting 30s)"; sleep 30
+  done
+  echo "!! TPU did not come back; continuing anyway"; return 1
+}
+
+run() {
+  local name="$1"; local tmo="$2"; shift 2
+  guard
+  echo "=== $name ($(date -u +%H:%M:%S)) ==="
+  timeout "$tmo" "$@" 2>&1 | tee "$OUT/$name.log"
+  local rc=$?
+  echo "rc=$rc ($name)" | tee -a "$OUT/$name.log"
+  return $rc
+}
+
+# 0. oracle gate on the final kernels (multi-pass engines included)
+run oracle 1800 python benches/oracle_check.py || {
+  if run oracle_sp 1800 env PT_WALK_BUDGET=0 python benches/oracle_check.py; then
+    export PT_WALK_BUDGET=0
+    echo "!! oracle failed with multi-pass; session continues single-pass"
+  fi
+}
+
+# 1. interactive fps on the JITTED frame path (reference headline feature)
+run fps 1200 python benches/interactive_fps.py --frames 48
+run fps_dragon 1800 python benches/interactive_fps.py --scene dragon_scene --frames 12
+
+# 2. standalone multi-pass A/B at BVH scale (the dragon decision number)
+run multi_dragon 1500 python benches/profile_multi.py --scene dragon --rays 262144
+run multi_mesh6 900 python benches/profile_multi.py --scene mesh6 --rays 262144
+
+# 3. dragon end-to-end, small first
+run dragon_small 1200 python benches/bench_all.py --size 256 --spp 4 --only dragon_scene
+
+# 4. config 5 two-level (spp-batched dispatches now)
+run twolevel_dragon 1500 python benches/bench_twolevel.py --scene dragon \
+    --width 512 --height 512 --spp 8
+run twolevel 2400 python benches/bench_twolevel.py --spp 64
+
+# 5. the expensive full-size dragon
+run dragon 2400 python benches/bench_all.py --size 512 --spp 16 --only dragon_scene
+
+# 6. multi-pass knob A/Bs on the dragon
+run ab_budget48 900 env PT_WALK_BUDGET=48 python benches/bench_all.py \
+    --size 256 --spp 4 --only dragon_scene
+run ab_budget192 900 env PT_WALK_BUDGET=192 python benches/bench_all.py \
+    --size 256 --spp 4 --only dragon_scene
+run multi_dragon_sp 1200 env PT_WALK_BUDGET=0 \
+    python benches/profile_multi.py --scene dragon --rays 131072 --reps 1
+
+echo "=== session C done ($(date -u +%H:%M:%S)) ==="
