@@ -1,11 +1,18 @@
 #!/bin/bash
 # Round-3 session C: re-prioritized follow-up on the final round-3 code.
-# Order = value/minute: oracle gate, interactive fps (jitted frame path),
-# multi-pass dragon decision numbers, small end-to-end dragon, two-level
-# config-5, then the expensive full-size rows and knob A/Bs.
-# Run: bash benches/r3c_session.sh [outdir]
+# Order = value/minute: remaining oracle cases, interactive fps (jitted
+# frame path), multi-pass dragon decision numbers, small end-to-end dragon,
+# two-level config-5, then the expensive full-size rows and knob A/Bs.
+#
+# Notes learned the hard way (this box has ONE host CPU):
+# * never run pytest / other host-CPU work concurrently — the f64 oracle is
+#   host-bound and contention doubles its wall time;
+# * an oracle TIMEOUT is not a precision failure: do NOT fall back to
+#   PT_WALK_BUDGET=0 on rc=124 (that would silently measure single-pass).
+# Run: bash benches/r3c_session.sh [outdir] [oracle-cases]
 set -u -o pipefail
 OUT="${1:-/tmp/r3c}"
+CASES="${2:-dragon,iwalk,vwalk}"   # mesh_scene+mesh_scene6 already passed this session
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
@@ -29,13 +36,10 @@ run() {
   return $rc
 }
 
-# 0. oracle gate on the final kernels (multi-pass engines included)
-run oracle 1800 python benches/oracle_check.py || {
-  if run oracle_sp 1800 env PT_WALK_BUDGET=0 python benches/oracle_check.py; then
-    export PT_WALK_BUDGET=0
-    echo "!! oracle failed with multi-pass; session continues single-pass"
-  fi
-}
+# 0. remaining oracle cases on the final kernels (multi-pass included).
+#    rc=124 (timeout) aborts nothing downstream; a real precision FAIL is
+#    visible in the log and judged by the collator.
+run oracle 2400 env PT_ORACLE_CASES="$CASES" python benches/oracle_check.py
 
 # 1. interactive fps on the JITTED frame path (reference headline feature)
 run fps 1200 python benches/interactive_fps.py --frames 48
