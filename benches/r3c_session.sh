@@ -11,9 +11,10 @@
 #   PT_WALK_BUDGET=0 on rc=124 (that would silently measure single-pass).
 # Run: bash benches/r3c_session.sh [outdir] [oracle-cases]
 set -u -o pipefail
-OUT="${1:-/tmp/r3c}"
 CASES="${2:-dragon,iwalk,vwalk}"   # mesh_scene+mesh_scene6 already passed this session
-mkdir -p "$OUT"
+# canonicalize the outdir BEFORE cd so a relative argument doesn't split the
+# mkdir target and the tee target across directories (ADVICE r3)
+OUT="$(mkdir -p "${1:-/tmp/r3c}" && cd "${1:-/tmp/r3c}" && pwd)"
 cd "$(dirname "$0")/.."
 
 guard() {

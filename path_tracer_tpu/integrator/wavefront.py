@@ -853,12 +853,18 @@ def render_film(
     # Bound the DURATION of one device dispatch: the TPU watchdog kills the
     # worker process when a single program execution runs too long (~1 min
     # observed on this platform), and a big tile x large spp on a BVH-scale
-    # walk scene can exceed that in ONE trace_lanes call. Splitting the
-    # sample range across dispatches is bit-faithful BY DESIGN (same
-    # non-static-spp executable; the checkpoint/resume machinery already
-    # guarantees identical sums under any sample split). Walk-class engines
-    # default to 8 spp per dispatch; the compile-time streams and small
-    # dense tiles stay unbounded (their dispatches are short).
+    # walk scene can exceed that in ONE trace_lanes call. Sample-split
+    # contract (measured, tests/test_multipass.py::test_spp_batch_identity):
+    # every (pixel, sample) item is rendered exactly once with the same RNG
+    # keys under any split, so per-sample values are schedule-invariant up
+    # to traversal-order ties; the per-pixel SUM is bit-equal only when the
+    # add order is preserved (pinned lanes + batch=1), reassociates at the
+    # ~ulp level for other pinned splits, and under the pooled queue a
+    # schedule change can additionally flip a knife-edge exact-t tie on rare
+    # lanes (block-composition-dependent chunk-visit order in the walk
+    # engines). Walk-class engines default to 8 spp per dispatch; the
+    # compile-time streams and small dense tiles stay unbounded (their
+    # dispatches are short).
     walk_class = ("walk" in scene["tri"]
                   or "iwalk" in scene.get("twolevel", {}))
     spp_batch = int(os.environ.get("PT_SPP_BATCH",

