@@ -32,8 +32,10 @@ def f64_oracle(pos64, o, d, eps=5e-4):
     n = len(o)
     best_t = np.full(n, np.inf)
     best_i = np.full(n, -1)
-    # [B, T, 3] f64 temporaries: keep under ~400 MB at dragon scale
-    B = max(4, min(64, int(2.0e6 / max(len(pos64) // 1000, 1))))
+    # [B, T, 3] f64 temporaries: the measurement host has 125 GB, so budget
+    # ~1.5 GB per temporary — big chunks cut the single-core Python-loop
+    # overhead that dominated the dragon-scale oracle at the old 400 MB cap
+    B = max(4, min(64, int(2.0e8 / max(len(pos64) // 1000, 1))))
     for s in range(0, n, B):
         ob, db = o[s : s + B], d[s : s + B]
         p = np.cross(db[:, None, :], e2[None, :, :])
@@ -140,10 +142,24 @@ def _check_iwalk(packer_name: str = "iwalk", ray_mode: str = "camera") -> bool:
 
 
 def main():
+    import threading
+
     import numpy as np
     import jax.numpy as jnp
 
     from path_tracer_tpu import scenes
+
+    # The tunneled TPU charges ~300-500 s to the FIRST device->host transfer
+    # of a process (handshake/warmup; later transfers are instant). Pay it on
+    # a background thread NOW so it overlaps the minutes of host-side f64
+    # oracle work instead of serializing in front of the engine readback.
+    def _warm_d2h():
+        try:
+            np.asarray(jnp.zeros((8,)) + 1)
+        except Exception:
+            pass
+
+    threading.Thread(target=_warm_d2h, daemon=True).start()
 
     failures = 0
     cases = [

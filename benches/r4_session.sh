@@ -25,6 +25,8 @@
 # concurrently with the f64 oracle; an oracle TIMEOUT is not a precision
 # failure — never fall back to PT_WALK_BUDGET=0 on rc=124.
 set -u -o pipefail
+# Budgets include the tunnel's ~300-500 s first-d2h-per-process cold start
+# (measured 2026-08-20: d2h0 278-488 s, d2h1+ instant).
 BLOCK="${1:?usage: r4_session.sh <block> [outdir]}"
 OUT="$(mkdir -p "${2:-/tmp/r4hw}" && cd "${2:-/tmp/r4hw}" && pwd)"
 cd "$(dirname "$0")/.."
@@ -51,49 +53,49 @@ run() {
 
 case "$BLOCK" in
   oracle_fast)
-    run oracle_fast 1200 env PT_ORACLE_CASES=mesh_scene,mesh_scene6 \
+    run oracle_fast 2400 env PT_ORACLE_CASES=mesh_scene,mesh_scene6 \
         python benches/oracle_check.py ;;
   oracle_bounce)
-    run oracle_bounce 2400 env PT_ORACLE_CASES=mesh6_bounce,vwalk_bounce \
+    run oracle_bounce 3600 env PT_ORACLE_CASES=mesh6_bounce,vwalk_bounce \
         python benches/oracle_check.py ;;
   fps)
-    run fps 1200 python benches/interactive_fps.py --frames 48 ;;
+    run fps 1800 python benches/interactive_fps.py --frames 48 ;;
   fps_dragon)
-    run fps_dragon 1800 python benches/interactive_fps.py \
+    run fps_dragon 2400 python benches/interactive_fps.py \
         --scene dragon_scene --frames 12 ;;
   multi_dragon)
-    run multi_dragon 1500 python benches/profile_multi.py \
+    run multi_dragon 2400 python benches/profile_multi.py \
         --scene dragon --rays 262144 ;;
   multi_mesh6)
-    run multi_mesh6 900 python benches/profile_multi.py \
+    run multi_mesh6 1800 python benches/profile_multi.py \
         --scene mesh6 --rays 262144 ;;
   dragon_small)
-    run dragon_small 1200 python benches/bench_all.py \
+    run dragon_small 2100 python benches/bench_all.py \
         --size 256 --spp 4 --only dragon_scene ;;
   twolevel_dragon)
-    run twolevel_dragon 1500 python benches/bench_twolevel.py \
+    run twolevel_dragon 2400 python benches/bench_twolevel.py \
         --scene dragon --width 512 --height 512 --spp 8 ;;
   twolevel)
-    run twolevel 2400 python benches/bench_twolevel.py --spp 64 ;;
+    run twolevel 3000 python benches/bench_twolevel.py --spp 64 ;;
   dragon)
-    run dragon 2400 python benches/bench_all.py \
+    run dragon 3000 python benches/bench_all.py \
         --size 512 --spp 16 --only dragon_scene ;;
   ab_knobs)
-    run ab_budget48 900 env PT_WALK_BUDGET=48 python benches/bench_all.py \
+    run ab_budget48 1500 env PT_WALK_BUDGET=48 python benches/bench_all.py \
         --size 256 --spp 4 --only dragon_scene
-    run ab_budget192 900 env PT_WALK_BUDGET=192 python benches/bench_all.py \
+    run ab_budget192 1500 env PT_WALK_BUDGET=192 python benches/bench_all.py \
         --size 256 --spp 4 --only dragon_scene ;;
   sweep24)
     for cfg in cornell_specular cornell_volume mesh_scene many_instance_scene; do
-      run "sweep24_$cfg" 900 python benches/bench_all.py \
+      run "sweep24_$cfg" 1500 python benches/bench_all.py \
           --size 512 --spp 16 --only "$cfg"
     done ;;
   oracle_slow)
-    run oracle_slow 3600 env PT_ORACLE_CASES=dragon,iwalk,vwalk \
+    run oracle_slow 4800 env PT_ORACLE_CASES=dragon,iwalk,vwalk \
         python benches/oracle_check.py ;;
   quality)
-    run quality 3000 python benches/quality.py --size 512 --spp 64
-    run quality_cggx 3000 python benches/quality.py --size 512 --spp 64 \
+    run quality 3600 python benches/quality.py --size 512 --spp 64
+    run quality_cggx 3600 python benches/quality.py --size 512 --spp 64 \
         --consistent-ggx ;;
   *)
     echo "unknown block: $BLOCK"; exit 2 ;;
