@@ -75,20 +75,24 @@ def main():
           f"passes={walk.WALK_PASSES}", flush=True)
 
     def timed(make, name):
+        # eng/rays must be jit ARGUMENTS, not closures: closed-over arrays
+        # become program literals, and XLA constant-folds through them —
+        # measured on the dragon (13258 chunks x 3 passes): a 243 MB MLIR
+        # module whose executable failed the 2 GiB proto cap at serialize.
         red = jax.jit(make)
-        np.asarray(red())
+        np.asarray(red(eng, oj, dj, tl))
         best = 1e9
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            np.asarray(red())
+            np.asarray(red(eng, oj, dj, tl))
             best = min(best, time.perf_counter() - t0)
         print(f"{name:8s}: {best*1e3:10.2f} ms  {n/best/1e6:8.2f} Mrays/s",
               flush=True)
 
-    timed(lambda: jnp.sum(
-        walk.walk_closest_hit(eng, oj, dj, tl)[1]), "closest")
-    timed(lambda: jnp.sum(
-        walk.walk_any_hit(eng, oj, dj, tl)), "any")
+    timed(lambda e, o, d, t: jnp.sum(
+        walk.walk_closest_hit(e, o, d, t)[1]), "closest")
+    timed(lambda e, o, d, t: jnp.sum(
+        walk.walk_any_hit(e, o, d, t)), "any")
 
 
 if __name__ == "__main__":

@@ -997,7 +997,16 @@ WALK_FLAT = _os.environ.get("PT_WALK_FLAT", "1") != "0"
 # to the single-pass scan (chunk t values don't depend on the window; the
 # strict-< merge keeps the same winner; resolution uses the same admit
 # inequality as the in-kernel skip). PT_WALK_BUDGET=0 disables.
-WALK_BUDGET = int(_os.environ.get("PT_WALK_BUDGET", "96"))
+#
+# DEFAULT OFF (r4 hardware A/B, benches/RESULTS_r4.md): at every scale
+# measured the budgeted passes cost more than they save — dragon 884K tris
+# closest 0.05 vs 0.10 Mrays/s single-pass (any 25.6 s vs 17.6 s), mesh6
+# 74K tris closest 0.55 vs 0.78 (any 2.04 s vs 1.28 s). Too few lanes
+# resolve inside the budgeted passes, so the final unbudgeted pass still
+# scans near-full blocks and the early passes are pure overhead. The
+# machinery stays (bit-identical, CI-covered via tests/test_multipass.py)
+# for A/B on future geometry; enable with PT_WALK_BUDGET > 0.
+WALK_BUDGET = int(_os.environ.get("PT_WALK_BUDGET", "0"))
 WALK_PASSES = int(_os.environ.get("PT_WALK_PASSES", "3"))
 WALK_MP_MIN = int(_os.environ.get("PT_WALK_MP_MIN", "512"))
 
