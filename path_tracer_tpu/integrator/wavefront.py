@@ -344,6 +344,9 @@ def trace_lanes(
     aperture: float = 0.0,
     focus: float = 0.0,
     cam_basis: jnp.ndarray | None = None,
+    init_state: dict | None = None,
+    max_steps: int | None = None,
+    return_state: bool = False,
 ):
     """Trace ``spp`` path samples per film lane (lane = y*width + x, y
     bottom-up) with PATH REGENERATION: the moment a lane's path terminates it
@@ -473,6 +476,15 @@ def trace_lanes(
     if pool:
         state["lane"] = lane_init
         state["next_w"] = jnp.uint32(n)  # items 0..n-1 are in flight
+
+    if init_state is not None:
+        # SEGMENT MODE (interactive dead-lane compaction): resume mid-path
+        # from a caller-held carry instead of fresh camera rays. Only valid
+        # pinned (pool regeneration would need queue state). The per-lane RNG
+        # keying (lane, sample, bounce, site) makes the resumed math
+        # identical to the uninterrupted loop.
+        assert not pool, "init_state resume is pinned-mode only"
+        state = init_state
 
     mat = scene["mat"]
 
@@ -695,7 +707,21 @@ def trace_lanes(
                 s = jax.lax.optimization_barrier(s)
         return s
 
-    out = jax.lax.while_loop(cond, body, state)
+    if max_steps is None:
+        out = jax.lax.while_loop(cond, body, state)
+    else:
+        # Bounded segment: run at most ``max_steps`` body iterations (each
+        # ``steps_per_iter`` bounce steps), still exiting early when every
+        # lane is dead. The counter lives outside the state dict so the
+        # carry layout (and therefore per-step codegen) matches the
+        # unbounded program's.
+        out = jax.lax.while_loop(
+            lambda c: (c[0] < max_steps) & cond(c[1]),
+            lambda c: (c[0] + 1, body(c[1])),
+            (jnp.uint32(0), state),
+        )[1]
+    if return_state:
+        return out
     rays2 = jnp.stack([out["rays"], out["rays_strict"]], axis=1)
     if pool:
         # position/first_id rows belong to (remapped) lanes, not pixels —
@@ -757,8 +783,167 @@ _render_sample_jit = jax.jit(
     trace_lanes,
     static_argnames=("width", "height", "max_bounces", "enable_nee",
                      "has_lights", "mtypes", "any_volumes", "steps_per_iter",
-                     "consistent_ggx", "pool", "aperture", "focus"),
+                     "consistent_ggx", "pool", "aperture", "focus",
+                     "max_steps", "return_state"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Interactive dead-lane compaction (the r4 fps fix).
+#
+# At 1 spp/frame pinned there is no regeneration target: a lane whose path
+# terminates rides the full-film bounce loop until EVERY lane is dead, and
+# glass paths in specular scenes survive Russian roulette to ~the bounce cap
+# — measured 15.3 s/frame at 1024x576 on cornell_specular (RESULTS_r4.md)
+# with the whole film paying dense traversal on every step. The fix: run the
+# bounce loop in bounded segments, and between segments stable-partition the
+# surviving lanes into a smaller buffer from a static size menu (each size
+# compiles once). Total traversal work falls from N*max_path to
+# ~sum(alive(b)) — the reference CPU's per-ray early exit, recovered in
+# wavefront form (integrator.rs:163's `loop` exits per pixel; main.rs:141's
+# frame loop relies on it).
+
+_SEG_B0 = int(os.environ.get("PT_SEG_B0", "6"))
+_SEG_STEPS = int(os.environ.get("PT_SEG_STEPS", "6"))
+
+
+def _seg_caps(n: int) -> list:
+    """Static buffer-size menu: quarters of the film, 256-lane aligned,
+    floored at 2048 (below that, per-dispatch overhead beats the savings)."""
+    caps, c = [], n
+    while c > 2048:
+        c = max(2048, -(-(c // 4) // 256) * 256)
+        if caps and caps[-1] == c:
+            break
+        caps.append(c)
+    return caps
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _seg_compact(s: dict, lane: jnp.ndarray, cap: int):
+    """Stable-partition alive lanes to the front, truncate to ``cap`` slots.
+
+    The caller guarantees ``cap`` >= alive count, so no live lane is ever
+    dropped; padding slots are REAL dead lanes (not duplicates), so each
+    buffer row belongs to exactly one film lane and the scatter-back is
+    race-free."""
+    order = jnp.argsort(jnp.logical_not(s["alive"]), stable=True)[:cap]
+    return jax.tree_util.tree_map(lambda a: a[order], s), lane[order]
+
+
+@jax.jit
+def _seg_scatter(rad, rays, rays_strict, s, lane):
+    """Write a segment buffer's running per-lane totals back to film rows."""
+    idx = lane.astype(jnp.int32)
+    return (rad.at[idx].set(s["accum"]),
+            rays.at[idx].set(s["rays"]),
+            rays_strict.at[idx].set(s["rays_strict"]))
+
+
+_seg_warmed: set = set()
+
+
+def _seg_scene_key(scene: dict) -> tuple:
+    """Hashable shape/dtype fingerprint of a scene pytree. Segment programs
+    depend only on leaf shapes + tree structure (+ the static config in the
+    warm key), so scenes with equal fingerprints share warmed programs —
+    and unlike ``id(scene)``, the key survives dict address reuse."""
+    leaves = jax.tree_util.tree_flatten_with_path(scene)[0]
+    return tuple(
+        (jax.tree_util.keystr(p), getattr(l, "shape", ()), str(getattr(l, "dtype", type(l))))
+        for p, l in leaves
+    )
+
+
+def render_sample_segmented(
+    scene: dict,
+    ndc_to_world,
+    cam_origin,
+    sample_id,
+    width: int,
+    height: int,
+    max_bounces: int = MAX_BOUNCES,
+    enable_nee: bool = True,
+    has_lights: bool = True,
+    mtypes: tuple = bsdf_mod.ALL_MTYPES,
+    any_volumes: bool = True,
+    aperture: float = 0.0,
+    focus: float = 0.0,
+    cam_basis=None,
+):
+    """``render_sample`` (1 spp, pinned) with dead-lane segmented compaction.
+
+    Bit-identical to ``render_sample``: RNG draws are keyed on (lane, sample,
+    bounce, site), per-step math compiles from the identical loop body, and
+    compaction only gathers/scatters whole lane rows — asserted on CPU by
+    ``tests/test_interactive.py::test_segmented_matches_monolithic``. The
+    host reads one scalar (the alive count) between segments to pick the
+    next static buffer size; all segment programs for a film size are warmed
+    on first use so steady-state frames trigger zero compiles.
+    """
+    n = width * height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    common = dict(
+        width=width, height=height, max_bounces=max_bounces,
+        enable_nee=enable_nee, has_lights=has_lights, spp=1, mtypes=mtypes,
+        any_volumes=any_volumes, aperture=aperture, focus=focus,
+        cam_basis=cam_basis, return_state=True,
+    )
+    s = _render_sample_jit(
+        scene, ndc_to_world, cam_origin, sample_id, lane,
+        max_steps=_SEG_B0, **common)
+    rad, position, first_id = s["accum"], s["position"], s["first_id"]
+    rays, rays_strict = s["rays"], s["rays_strict"]
+
+    caps = _seg_caps(n)
+    warm_key = (_seg_scene_key(scene), n, tuple(caps), _SEG_B0, _SEG_STEPS,
+                mtypes, max_bounces, enable_nee, has_lights, any_volumes,
+                aperture)
+    if warm_key not in _seg_warmed:
+        # Compile every program the steady-state loop can reach, NOW:
+        # the continuation + scatter + alive-count at every size, and the
+        # compaction gather for every (from -> to) size pair (alive counts
+        # can collapse several menu levels in one segment). Continuations
+        # warm on an all-dead resume state, so each warm call costs its
+        # compile plus microseconds — steady-state frames must never hit a
+        # first-time compile (a 20-40 s stall mid-session).
+        _seg_warmed.add(warm_key)
+        sizes = [n] + caps
+        states = {n: (s, lane)}
+        for i, f in enumerate(sizes):
+            sf, lf = states[f]
+            int(jnp.count_nonzero(sf["alive"]))
+            dead = dict(sf)
+            dead["alive"] = jnp.zeros_like(sf["alive"])
+            sd = _render_sample_jit(scene, ndc_to_world, cam_origin,
+                                    sample_id, lf, init_state=dead,
+                                    max_steps=_SEG_STEPS, **common)
+            _seg_scatter(jnp.zeros_like(rad), jnp.zeros_like(rays),
+                         jnp.zeros_like(rays_strict), sd, lf)
+            for t in sizes[i + 1:]:
+                st, lt = _seg_compact(sf, lf, t)
+                if t not in states:
+                    states[t] = (st, lt)
+        del states
+
+    cur = n
+    while True:
+        cnt = int(jnp.count_nonzero(s["alive"]))
+        if cnt == 0:
+            break
+        cap = cur
+        for c in caps:
+            if cnt <= c < cap:
+                cap = c
+        if cap < cur:
+            s, lane = _seg_compact(s, lane, cap)
+            cur = cap
+        s = _render_sample_jit(
+            scene, ndc_to_world, cam_origin, sample_id, lane,
+            init_state=s, max_steps=_SEG_STEPS, **common)
+        rad, rays, rays_strict = _seg_scatter(rad, rays, rays_strict, s, lane)
+
+    return rad, position, first_id, jnp.stack([rays, rays_strict], axis=1)
 
 
 # Film lanes traced per device dispatch, by engine (v5e measurements).

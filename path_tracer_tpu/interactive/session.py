@@ -16,12 +16,23 @@ get frames as arrays (save them, stream them, or wire them to any UI).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
 from path_tracer_tpu.camera import Camera
-from path_tracer_tpu.integrator.wavefront import render_sample
+from path_tracer_tpu.integrator.wavefront import (
+    render_sample,
+    render_sample_segmented,
+)
 from path_tracer_tpu.interactive import taa
+
+# Dead-lane segmented compaction (r4): at 1 spp/frame pinned, a terminated
+# lane otherwise rides the full-film bounce loop to the all-dead exit —
+# measured 15.3 s/frame at 1024x576 on cornell_specular (RESULTS_r4.md).
+# Bit-identical output (tests/test_interactive.py); knob for A/B only.
+_SEGMENTED = os.environ.get("PT_INTERACTIVE_SEG", "1") != "0"
 
 
 class InteractiveRenderer:
@@ -70,7 +81,8 @@ class InteractiveRenderer:
 
     def frame(self) -> None:
         h, w = self.height, self.width
-        rad, pos, fid, _ = render_sample(
+        entry = render_sample_segmented if _SEGMENTED else render_sample
+        rad, pos, fid, _ = entry(
             self.scene,
             jnp.asarray(self.camera.view_proj_inverse()),
             jnp.asarray(self.camera.origin),

@@ -204,16 +204,17 @@ def test_frame_path_compiles_once():
     r.display()
 
     # count flow-through by wrapping the name `frame()` actually calls
-    # (the session module's import-time binding); also pin that the entry
-    # is a jax.jit callable — `render_sample` is jitted at def site
-    # (wavefront.py), so once compiled, steady-state frames must hit the
-    # jit cache, never the Python body
+    # (the session module's import-time binding); also pin that the
+    # underlying trace entry is a jax.jit callable, so once compiled,
+    # steady-state frames must hit the jit cache, never retrace
     import path_tracer_tpu.interactive.session as session_mod
 
-    real_entry = session_mod.render_sample
-    assert hasattr(wavefront.render_sample, "lower") and hasattr(
-        wavefront.render_sample, "_cache_size"
-    ), "render_sample is no longer a jax.jit entry point"
+    seg = session_mod._SEGMENTED
+    name = "render_sample_segmented" if seg else "render_sample"
+    real_entry = getattr(session_mod, name)
+    assert hasattr(wavefront._render_sample_jit, "lower") and hasattr(
+        wavefront._render_sample_jit, "_cache_size"
+    ), "_render_sample_jit is no longer a jax.jit entry point"
     entry_calls = []
 
     def counting_entry(*a, **kw):
@@ -221,7 +222,7 @@ def test_frame_path_compiles_once():
         return real_entry(*a, **kw)
 
     monitoring.register_event_duration_secs_listener(listener)
-    session_mod.render_sample = counting_entry
+    setattr(session_mod, name, counting_entry)
     try:
         for i in range(4):
             if i % 2 == 0:
@@ -230,14 +231,55 @@ def test_frame_path_compiles_once():
             r.frame()
             img = r.display()
     finally:
-        session_mod.render_sample = real_entry
+        setattr(session_mod, name, real_entry)
         monitoring.unregister_event_duration_listener(listener)
 
     assert compiles == [], (
         f"{len(compiles)} backend compiles during steady-state frames — "
-        "the frame path is retracing (or eager)")
+        "the frame path is retracing (or eager, or the segment warm-up "
+        "missed a reachable program)")
     assert len(entry_calls) == 4, (
-        "frames did not flow through the session render_sample entry")
-    assert real_entry is wavefront.render_sample, (
-        "session.py no longer calls the jitted wavefront.render_sample")
+        f"frames did not flow through the session {name} entry")
+    assert real_entry is getattr(wavefront, name), (
+        f"session.py no longer calls wavefront.{name}")
     assert np.isfinite(img).all()
+
+
+def test_segmented_matches_monolithic(monkeypatch):
+    """The r4 interactive fps fix — dead-lane segmented compaction
+    (`render_sample_segmented`) — must be BIT-identical to the monolithic
+    `render_sample` on every output (radiance, TAA position/id buffers, ray
+    counters): RNG draws are keyed on (lane, sample, bounce, site) and
+    traversal is schedule-invariant, so re-packing survivors into smaller
+    buffers may not change any lane's arithmetic. Segment lengths and the
+    size menu are forced tiny so several segments AND several shrink levels
+    actually run (the default menu floors at 2048 lanes)."""
+    from path_tracer_tpu.integrator import wavefront
+
+    monkeypatch.setattr(wavefront, "_SEG_B0", 2)
+    monkeypatch.setattr(wavefront, "_SEG_STEPS", 2)
+    monkeypatch.setattr(
+        wavefront, "_seg_caps", lambda n: [(3 * n) // 4, n // 2, n // 4])
+
+    w, h = 24, 16
+    for scene_name in ("cornell_diffuse", "cornell_specular"):
+        scene_host, cam = getattr(scenes, scene_name)(aspect=w / h)
+        scene = scene_host.device()
+        mtypes = getattr(scene_host, "active_mtypes", None)
+        kw = dict(
+            max_bounces=12,
+            has_lights="light" in scene,
+            any_volumes=getattr(scene_host, "has_volumes", True),
+        )
+        if mtypes is not None:
+            kw["mtypes"] = mtypes
+        ndc = jnp.asarray(cam.view_proj_inverse())
+        org = jnp.asarray(cam.origin)
+        for sample_id in (0, 3):
+            ref = wavefront.render_sample(scene, ndc, org, sample_id, w, h, **kw)
+            got = wavefront.render_sample_segmented(
+                scene, ndc, org, sample_id, w, h, **kw)
+            for r_, g_, nm in zip(ref, got, ("rad", "pos", "id", "rays")):
+                np.testing.assert_array_equal(
+                    np.asarray(r_), np.asarray(g_),
+                    err_msg=f"{scene_name} sample {sample_id}: {nm} differs")
