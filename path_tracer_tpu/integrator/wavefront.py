@@ -803,8 +803,11 @@ _render_sample_jit = jax.jit(
 # wavefront form (integrator.rs:163's `loop` exits per pixel; main.rs:141's
 # frame loop relies on it).
 
-_SEG_B0 = int(os.environ.get("PT_SEG_B0", "6"))
-_SEG_STEPS = int(os.environ.get("PT_SEG_STEPS", "6"))
+# Both clamped to >= 1: a zero-step first segment would return the
+# miss-sentinel init for position/first_id (read only from segment 0), and a
+# zero-step continuation would loop forever without retiring lanes.
+_SEG_B0 = max(1, int(os.environ.get("PT_SEG_B0", "6")))
+_SEG_STEPS = max(1, int(os.environ.get("PT_SEG_STEPS", "6")))
 
 
 def _seg_caps(n: int) -> list:
@@ -855,6 +858,22 @@ def _seg_scene_key(scene: dict) -> tuple:
     )
 
 
+# id(scene) -> fingerprint memo for the per-frame hot path. The id alone is
+# not a safe key (dict addresses are reused after gc), so the memo also
+# stores a weakref-free liveness token: the object itself. Holding the scene
+# dict alive for the session is fine — it is the uploaded device scene.
+_seg_key_memo: dict = {}
+
+
+def _seg_scene_key_cached(scene: dict) -> tuple:
+    ent = _seg_key_memo.get(id(scene))
+    if ent is not None and ent[0] is scene:
+        return ent[1]
+    key = _seg_scene_key(scene)
+    _seg_key_memo[id(scene)] = (scene, key)
+    return key
+
+
 def render_sample_segmented(
     scene: dict,
     ndc_to_world,
@@ -896,9 +915,13 @@ def render_sample_segmented(
     rays, rays_strict = s["rays"], s["rays_strict"]
 
     caps = _seg_caps(n)
-    warm_key = (_seg_scene_key(scene), n, tuple(caps), _SEG_B0, _SEG_STEPS,
-                mtypes, max_bounces, enable_nee, has_lights, any_volumes,
-                aperture)
+    # Every static argument / trace-structure input of the segment programs
+    # must appear here: width/height (not just n — a transposed resize keeps
+    # n but changes the program), focus, and cam_basis presence+shape.
+    warm_key = (_seg_scene_key_cached(scene), width, height, tuple(caps),
+                _SEG_B0, _SEG_STEPS, mtypes, max_bounces, enable_nee,
+                has_lights, any_volumes, aperture, focus,
+                None if cam_basis is None else jnp.shape(cam_basis))
     if warm_key not in _seg_warmed:
         # Compile every program the steady-state loop can reach, NOW:
         # the continuation + scatter + alive-count at every size, and the
@@ -907,7 +930,6 @@ def render_sample_segmented(
         # warm on an all-dead resume state, so each warm call costs its
         # compile plus microseconds — steady-state frames must never hit a
         # first-time compile (a 20-40 s stall mid-session).
-        _seg_warmed.add(warm_key)
         sizes = [n] + caps
         states = {n: (s, lane)}
         for i, f in enumerate(sizes):
@@ -925,6 +947,10 @@ def render_sample_segmented(
                 if t not in states:
                     states[t] = (st, lt)
         del states
+        # Mark warmed only AFTER every warm compile succeeded — a transient
+        # failure above must not condemn later frames to silent lazy
+        # mid-session compiles.
+        _seg_warmed.add(warm_key)
 
     cur = n
     while True:
