@@ -806,7 +806,15 @@ _render_sample_jit = jax.jit(
 # Both clamped to >= 1: a zero-step first segment would return the
 # miss-sentinel init for position/first_id (read only from segment 0), and a
 # zero-step continuation would loop forever without retiring lanes.
-_SEG_B0 = max(1, int(os.environ.get("PT_SEG_B0", "6")))
+#
+# B0 default 2 from the measured alive-decay profile (cornell_specular at
+# 16:9, CPU probe, RESULTS_r5.md): only 31% of lanes survive bounce 0 (env
+# misses + direct light hits) and 24% survive bounce 1, so compaction to
+# the n/4 slot is available after TWO steps — every further full-film step
+# (the old default ran six) traces ~76% dead lanes. Scenes whose lanes stay
+# alive longer just skip the early compaction (one extra count-read, no
+# extra trace work).
+_SEG_B0 = max(1, int(os.environ.get("PT_SEG_B0", "2")))
 _SEG_STEPS = max(1, int(os.environ.get("PT_SEG_STEPS", "6")))
 
 
@@ -991,6 +999,26 @@ TILE_LANES_GATHER = 65536
 TILE_LANES_WALK = int(os.environ.get("PT_WALK_TILE", "262144"))
 
 
+def _default_spp_batch(scene: dict) -> int:
+    """Samples per device dispatch bounding dispatch DURATION (the TPU
+    watchdog kills the worker at ~1 min of one program execution).
+
+    Walk-class engines default to 8 spp per dispatch DIVIDED by the
+    engine's part count, floored at 1: a multi-part engine re-streams every
+    part's tables per trace call, so duration scales with parts. Measured
+    (RESULTS_r5.md bisect): the 18-part dragon two-level at 8 spp
+    reproducibly faulted the TPU worker while the same wave at 1 spp —
+    identical to its surviving warmup dispatch — completes. Single-part
+    engines keep 8 (config-5 vwalk ran 458 s of 8-spp dispatches clean at
+    1080p, RESULTS_r4.md). Non-walk engines return 0 (unbounded): their
+    dispatches are short."""
+    eng = scene["tri"].get("walk") or scene.get("twolevel", {}).get("iwalk")
+    if eng is None:
+        return 0
+    n_parts = len(eng.get("parts") or (eng,))
+    return max(1, 8 // n_parts)
+
+
 def render_film(
     scene: dict,
     ndc_to_world,
@@ -1073,13 +1101,9 @@ def render_film(
     # ~ulp level for other pinned splits, and under the pooled queue a
     # schedule change can additionally flip a knife-edge exact-t tie on rare
     # lanes (block-composition-dependent chunk-visit order in the walk
-    # engines). Walk-class engines default to 8 spp per dispatch; the
-    # compile-time streams and small dense tiles stay unbounded (their
-    # dispatches are short).
-    walk_class = ("walk" in scene["tri"]
-                  or "iwalk" in scene.get("twolevel", {}))
+    # engines). The default policy (parts-aware) is _default_spp_batch.
     spp_batch = int(os.environ.get("PT_SPP_BATCH",
-                                   "8" if walk_class else "0"))
+                                   str(_default_spp_batch(scene))))
     if spp_batch <= 0:
         spp_batch = spp
     # NOTE: ``spp`` is deliberately NOT static — it only feeds the traced

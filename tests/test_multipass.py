@@ -289,3 +289,24 @@ def test_spp_batch_identity(monkeypatch):
     # traversal work may shift with block composition, but only slightly
     np.testing.assert_allclose(rays_a, rays_b, rtol=1e-2)
     assert pool_a.mean() > 0.0
+
+
+def test_default_spp_batch_parts_aware():
+    """Dispatch-duration policy (`wavefront._default_spp_batch`): walk-class
+    engines split spp by the engine's PART count — the r4 known issue was
+    the 18-part dragon two-level faulting the TPU worker at 8 spp per
+    dispatch while its 1-spp warmup dispatch survived (RESULTS_r5.md
+    bisect: the same run completes at spp_batch=1). Single-part engines
+    keep 8 (config-5's 1080p vwalk ran clean, RESULTS_r4.md); non-walk
+    engines stay unbounded."""
+    from path_tracer_tpu.integrator.wavefront import _default_spp_batch
+
+    part = {"w": 0}
+    assert _default_spp_batch({"tri": {"dense": {}}}) == 0
+    assert _default_spp_batch({"tri": {"walk": {"w": 0}}}) == 8
+    assert _default_spp_batch(
+        {"tri": {"walk": {"parts": (part, part)}}}) == 4
+    assert _default_spp_batch(
+        {"tri": {}, "twolevel": {"iwalk": {"vinst": 0}}}) == 8
+    assert _default_spp_batch(
+        {"tri": {}, "twolevel": {"iwalk": {"parts": (part,) * 18}}}) == 1
