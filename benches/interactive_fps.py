@@ -48,9 +48,26 @@ def run(mode: str, scene_name: str, w: int, h: int, frames: int,
         return r.display()  # host sync: the "present"
 
     img = step(0)  # warmup/compile
+    profile = os.environ.get("PT_FPS_PROFILE", "0") != "0"
+    t_frame = t_disp = 0.0
     t0 = time.perf_counter()
     for i in range(1, frames + 1):
-        img = step(i)
+        if profile:
+            # phase split: frame() issues the trace segments (each ends in a
+            # host count-read, so it is ~synchronous); display() adds the
+            # TAA/tonemap dispatch + the full-film d2h readback
+            ta = time.perf_counter()
+            if mode == "moving":
+                r.mouse(2e-4 if i % 2 == 0 else -1.5e-4, 1e-4, 1.0 / 60.0)
+                r.key("w" if i % 4 < 2 else "d", 6e-6)
+            r.frame()
+            tb = time.perf_counter()
+            img = r.display()
+            tc = time.perf_counter()
+            t_frame += tb - ta
+            t_disp += tc - tb
+        else:
+            img = step(i)
         if sink and i % 8 == 0:
             # display() is already tonemapped + image-row order
             from PIL import Image
@@ -60,12 +77,16 @@ def run(mode: str, scene_name: str, w: int, h: int, frames: int,
                 os.path.join(sink, f"{mode}_{i:04d}.png"))
     dt = time.perf_counter() - t0
     assert np.isfinite(img).all()
-    return {
+    out = {
         "mode": mode, "scene": scene_name, "size": f"{w}x{h}",
         "frames": frames, "fps": round(frames / dt, 2),
         "ms_per_frame": round(1e3 * dt / frames, 2),
         "mean": float(img.mean()),
     }
+    if profile:
+        out["ms_trace"] = round(1e3 * t_frame / frames, 2)
+        out["ms_display"] = round(1e3 * t_disp / frames, 2)
+    return out
 
 
 def main():

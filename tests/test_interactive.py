@@ -283,3 +283,45 @@ def test_segmented_matches_monolithic(monkeypatch):
                 np.testing.assert_array_equal(
                     np.asarray(r_), np.asarray(g_),
                     err_msg=f"{scene_name} sample {sample_id}: {nm} differs")
+
+
+def test_seg_warm_key_covers_resize_and_focus(monkeypatch):
+    """ADVICE r4: the segmented frame path's warm key must include every
+    input that changes the compiled segment programs — a transposed resize
+    keeps the lane count but changes the program (width/height are static
+    argnames), as does a focus change with aperture > 0. Pre-fix, these
+    reused the old key, silently skipped warm-up, and steady-state frames
+    hit lazy mid-session compiles. Pins: distinct configs -> distinct warm
+    keys, and each segmented render still matches its monolithic twin."""
+    from path_tracer_tpu.integrator import wavefront
+
+    monkeypatch.setattr(wavefront, "_SEG_B0", 2)
+    monkeypatch.setattr(wavefront, "_SEG_STEPS", 3)
+    monkeypatch.setattr(wavefront, "_seg_caps", lambda n: [n // 2])
+    monkeypatch.setattr(wavefront, "_seg_warmed", set())
+
+    scene_host, cam = scenes.cornell_specular(aspect=1.0)
+    scene = scene_host.device()
+    kw = dict(max_bounces=6, has_lights="light" in scene,
+              mtypes=scene_host.active_mtypes,
+              any_volumes=scene_host.has_volumes)
+    ndc = jnp.asarray(cam.view_proj_inverse())
+    org = jnp.asarray(cam.origin)
+
+    basis = jnp.asarray(cam.matrix[:, :3])
+    configs = [
+        dict(width=24, height=16),
+        dict(width=16, height=24),             # transposed: same lane count
+        dict(width=24, height=16, aperture=8.0, focus=400.0, cam_basis=basis),
+        dict(width=24, height=16, aperture=8.0, focus=800.0, cam_basis=basis),
+    ]
+    for cfg in configs:
+        rad_s, pos_s, fid_s, rays_s = wavefront.render_sample_segmented(
+            scene, ndc, org, 0, **cfg, **kw)
+        rad_m, pos_m, fid_m, rays_m = wavefront.render_sample(
+            scene, ndc, org, 0, **cfg, **kw)
+        np.testing.assert_array_equal(np.asarray(rad_s), np.asarray(rad_m))
+        np.testing.assert_array_equal(np.asarray(pos_s), np.asarray(pos_m))
+        np.testing.assert_array_equal(np.asarray(fid_s), np.asarray(fid_m))
+    assert len(wavefront._seg_warmed) == len(configs), (
+        "each config must warm its own program set")
