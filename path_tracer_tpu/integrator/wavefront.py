@@ -816,6 +816,17 @@ _render_sample_jit = jax.jit(
 # extra trace work).
 _SEG_B0 = max(1, int(os.environ.get("PT_SEG_B0", "2")))
 _SEG_STEPS = max(1, int(os.environ.get("PT_SEG_STEPS", "6")))
+# Tail batching: once the buffer has collapsed to the menu floor, the
+# surviving lanes (the glass tail, ~0.1-0.3% of the film) ride for tens of
+# bounces; at 6 steps/segment that is ~8 more segments whose cost is almost
+# entirely per-segment dispatch+sync overhead (a floor-size trace step is
+# ~1 ms). Segments at sizes <= PT_SEG_TAIL_AT therefore run
+# PT_SEG_TAIL_STEPS bounce steps each — over-stepping past the last death
+# just idles a floor-size buffer for a few ms. Bit-identity is untouched
+# (per-lane math is keyed on (lane, sample, bounce, site), not on the
+# segment schedule — tests/test_interactive.py).
+_SEG_TAIL_AT = int(os.environ.get("PT_SEG_TAIL_AT", "2560"))
+_SEG_TAIL_STEPS = max(1, int(os.environ.get("PT_SEG_TAIL_STEPS", "24")))
 
 
 def _seg_caps(n: int) -> list:
@@ -927,7 +938,8 @@ def render_sample_segmented(
     # must appear here: width/height (not just n — a transposed resize keeps
     # n but changes the program), focus, and cam_basis presence+shape.
     warm_key = (_seg_scene_key_cached(scene), width, height, tuple(caps),
-                _SEG_B0, _SEG_STEPS, mtypes, max_bounces, enable_nee,
+                _SEG_B0, _SEG_STEPS, _SEG_TAIL_AT, _SEG_TAIL_STEPS,
+                mtypes, max_bounces, enable_nee,
                 has_lights, any_volumes, aperture, focus,
                 None if cam_basis is None else jnp.shape(cam_basis))
     if warm_key not in _seg_warmed:
@@ -945,9 +957,11 @@ def render_sample_segmented(
             int(jnp.count_nonzero(sf["alive"]))
             dead = dict(sf)
             dead["alive"] = jnp.zeros_like(sf["alive"])
-            sd = _render_sample_jit(scene, ndc_to_world, cam_origin,
-                                    sample_id, lf, init_state=dead,
-                                    max_steps=_SEG_STEPS, **common)
+            for st_count in ({_SEG_STEPS, _SEG_TAIL_STEPS}
+                             if f <= _SEG_TAIL_AT else (_SEG_STEPS,)):
+                sd = _render_sample_jit(scene, ndc_to_world, cam_origin,
+                                        sample_id, lf, init_state=dead,
+                                        max_steps=st_count, **common)
             _seg_scatter(jnp.zeros_like(rad), jnp.zeros_like(rays),
                          jnp.zeros_like(rays_strict), sd, lf)
             for t in sizes[i + 1:]:
@@ -972,9 +986,10 @@ def render_sample_segmented(
         if cap < cur:
             s, lane = _seg_compact(s, lane, cap)
             cur = cap
+        steps = _SEG_TAIL_STEPS if cur <= _SEG_TAIL_AT else _SEG_STEPS
         s = _render_sample_jit(
             scene, ndc_to_world, cam_origin, sample_id, lane,
-            init_state=s, max_steps=_SEG_STEPS, **common)
+            init_state=s, max_steps=steps, **common)
         rad, rays, rays_strict = _seg_scatter(rad, rays, rays_strict, s, lane)
 
     return rad, position, first_id, jnp.stack([rays, rays_strict], axis=1)

@@ -260,6 +260,10 @@ def test_segmented_matches_monolithic(monkeypatch):
     monkeypatch.setattr(wavefront, "_SEG_STEPS", 2)
     monkeypatch.setattr(
         wavefront, "_seg_caps", lambda n: [(3 * n) // 4, n // 2, n // 4])
+    # engage the tail-batched path (PT_SEG_TAIL_*) at the smallest cap so
+    # the longer-step tail program is also covered by the identity check
+    monkeypatch.setattr(wavefront, "_SEG_TAIL_AT", (24 * 16) // 4)
+    monkeypatch.setattr(wavefront, "_SEG_TAIL_STEPS", 5)
 
     w, h = 24, 16
     for scene_name in ("cornell_diffuse", "cornell_specular"):
