@@ -17,6 +17,7 @@ get frames as arrays (save them, stream them, or wire them to any UI).
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import numpy as np
 import jax.numpy as jnp
@@ -44,7 +45,13 @@ class InteractiveRenderer:
         height: int,
         max_bounces: int = 64,
         enable_nee: bool = True,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — frames trace
+        tile-sharded across its devices (``parallel.mesh.
+        frame_segmented_sharded``), the multi-chip interactive mode. The
+        TAA/display stages run on the gathered film (one ~film-sized
+        all-gather per frame over ICI)."""
         self.scene = scene_host.device() if hasattr(scene_host, "device") else scene_host
         self.has_lights = "light" in self.scene
         # static scene specialization (compile only the materials present)
@@ -57,6 +64,7 @@ class InteractiveRenderer:
         self.height = height
         self.max_bounces = max_bounces
         self.enable_nee = enable_nee
+        self.mesh = mesh
 
         self.accumulation = jnp.zeros((height, width, 4), jnp.float32)
         self.ids = jnp.zeros((height, width), jnp.uint32)
@@ -81,7 +89,12 @@ class InteractiveRenderer:
 
     def frame(self) -> None:
         h, w = self.height, self.width
-        entry = render_sample_segmented if _SEGMENTED else render_sample
+        if self.mesh is not None:
+            from path_tracer_tpu.parallel.mesh import frame_segmented_sharded
+
+            entry = partial(frame_segmented_sharded, mesh=self.mesh)
+        else:
+            entry = render_sample_segmented if _SEGMENTED else render_sample
         rad, pos, fid, _ = entry(
             self.scene,
             jnp.asarray(self.camera.view_proj_inverse()),

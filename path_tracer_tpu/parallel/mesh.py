@@ -176,3 +176,154 @@ def render_sharded(
         )
         film = film + jnp.concatenate([rad, jnp.ones((rad.shape[0], 1), jnp.float32)], axis=1)
     return film.reshape(height, width, 4)
+
+
+# jitted segment/compact/scatter programs for the sharded interactive frame,
+# memoized per (mesh, static config) — rebuilding them per frame would
+# discard the jit cache and retrace every frame.
+_frame_fns_cache: dict = {}
+
+
+def _frame_fns(mesh: Mesh, cfg: tuple):
+    key = (mesh, cfg)
+    fns = _frame_fns_cache.get(key)
+    if fns is not None:
+        return fns
+    (width, height, chunk, max_bounces, enable_nee, has_lights, kinds,
+     any_volumes, aperture, focus, has_basis) = cfg
+    axis = mesh.axis_names[0]
+    common = dict(width=width, height=height, max_bounces=max_bounces,
+                  enable_nee=enable_nee, has_lights=has_lights, spp=1,
+                  mtypes=kinds, any_volumes=any_volumes, aperture=aperture,
+                  focus=focus, return_state=True)
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def seg0(scene_rep, ndc, org, sid, basis, steps):
+        def f(scene_rep, ndc, org, sid, basis):
+            dev = jax.lax.axis_index(axis)
+            lane = (dev.astype(jnp.uint32) * jnp.uint32(chunk)
+                    + jnp.arange(chunk, dtype=jnp.uint32))
+            s = trace_lanes(scene_rep, ndc, org, sid, lane,
+                            max_steps=steps, cam_basis=basis, **common)
+            cnt = jnp.count_nonzero(s["alive"]).reshape(1)
+            return s, lane, cnt
+        return shard_map(f, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+                         out_specs=(P(axis), P(axis), P(axis)),
+                         check_vma=False)(scene_rep, ndc, org, sid, basis)
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def seg(scene_rep, ndc, org, sid, basis, s, lane, steps):
+        def f(scene_rep, ndc, org, sid, basis, s, lane):
+            s2 = trace_lanes(scene_rep, ndc, org, sid, lane,
+                             init_state=s, max_steps=steps,
+                             cam_basis=basis, **common)
+            cnt = jnp.count_nonzero(s2["alive"]).reshape(1)
+            return s2, cnt
+        return shard_map(f, mesh=mesh,
+                         in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis)),
+                         out_specs=(P(axis), P(axis)),
+                         check_vma=False)(scene_rep, ndc, org, sid, basis,
+                                          s, lane)
+
+    @partial(jax.jit, static_argnames=("cap",))
+    def compact(s, lane, cap):
+        def f(s, lane):
+            order = jnp.argsort(jnp.logical_not(s["alive"]), stable=True)[:cap]
+            return (jax.tree_util.tree_map(lambda a: a[order], s),
+                    lane[order])
+        return shard_map(f, mesh=mesh, in_specs=(P(axis), P(axis)),
+                         out_specs=(P(axis), P(axis)),
+                         check_vma=False)(s, lane)
+
+    @jax.jit
+    def scatter(rad, rays2, s, lane):
+        def f(rad, rays2, s, lane):
+            dev = jax.lax.axis_index(axis)
+            idx = lane.astype(jnp.int32) - dev.astype(jnp.int32) * chunk
+            return (rad.at[idx].set(s["accum"]),
+                    rays2.at[idx].set(
+                        jnp.stack([s["rays"], s["rays_strict"]], axis=1)))
+        return shard_map(f, mesh=mesh,
+                         in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                         out_specs=(P(axis), P(axis)),
+                         check_vma=False)(rad, rays2, s, lane)
+
+    fns = (seg0, seg, compact, scatter)
+    _frame_fns_cache[key] = fns
+    return fns
+
+
+def frame_segmented_sharded(
+    scene: dict,
+    ndc_to_world,
+    cam_origin,
+    sample_id,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    max_bounces: int = 64,
+    enable_nee: bool = True,
+    has_lights: bool = True,
+    mtypes=None,
+    any_volumes: bool = True,
+    aperture: float = 0.0,
+    focus: float = 0.0,
+    cam_basis=None,
+):
+    """One interactive frame (1 spp pinned) with dead-lane segmented
+    compaction, tile-sharded across ``mesh`` — the multi-chip form of
+    ``wavefront.render_sample_segmented`` (the r4/r5 fps path).
+
+    Each device owns a contiguous slab of ``width*height / n_devices`` film
+    lanes and compacts its OWN survivors between segments; the host reads
+    the per-shard alive counts (one tiny all-device sync per segment) and
+    picks ONE static buffer size from the per-shard menu — the max shard
+    count decides, so no live lane is ever dropped. Per-lane math is
+    identical to the single-device path (RNG keys on absolute lane ids);
+    output matches ``render_sample_segmented`` up to the documented
+    per-shard-program float reassociation (~1 ulp).
+
+    Returns ``(radiance [N,3], position [N,4], first_id [N], rays [N,2])``
+    as lane-major sharded arrays. The reference's interactive loop is
+    single-machine (main.rs:141-224); this is the TPU answer for driving
+    the same 1 spp/frame progressive+TAA pipeline from a pod slice.
+    """
+    from path_tracer_tpu.integrator import bsdf as bsdf_mod
+    from path_tracer_tpu.integrator import wavefront as wf
+
+    n = width * height
+    n_dev = mesh.devices.size
+    if n % n_dev:
+        raise ValueError(f"film lanes {n} not divisible by {n_dev} devices")
+    chunk = n // n_dev
+    kinds = tuple(mtypes) if mtypes is not None else bsdf_mod.ALL_MTYPES
+    cfg = (width, height, chunk, max_bounces, enable_nee, has_lights, kinds,
+           any_volumes, aperture, focus, cam_basis is not None)
+    seg0, seg, compact, scatter = _frame_fns(mesh, cfg)
+
+    sid = jnp.uint32(sample_id)
+    ndc = jnp.asarray(ndc_to_world)
+    org = jnp.asarray(cam_origin)
+    s, lane, cnt = seg0(scene, ndc, org, sid, cam_basis, wf._SEG_B0)
+    position, first_id = s["position"], s["first_id"]
+    rad = s["accum"]
+    rays2 = jnp.stack([s["rays"], s["rays_strict"]], axis=1)
+
+    caps = wf._seg_caps(chunk)
+    cur = chunk
+    while True:
+        m = int(jnp.max(cnt))
+        if m == 0:
+            break
+        cap = cur
+        for c in caps:
+            if m <= c < cap:
+                cap = c
+        if cap < cur:
+            s, lane = compact(s, lane, cap)
+            cur = cap
+        steps = (wf._SEG_TAIL_STEPS if cur <= wf._SEG_TAIL_AT
+                 else wf._SEG_STEPS)
+        s, cnt = seg(scene, ndc, org, sid, cam_basis, s, lane, steps)
+        rad, rays2 = scatter(rad, rays2, s, lane)
+    return rad, position, first_id, rays2

@@ -156,3 +156,57 @@ def test_defocus_sharded_matches_single(setup):
     same = (np.abs(rad_sh - rad_ref).max(axis=-1) < 1e-5).mean()
     assert same >= 0.99, same
     assert abs(rad_sh.mean() - rad_ref.mean()) < 0.02 * max(rad_ref.mean(), 1e-6)
+
+
+def test_interactive_frame_sharded_matches_single(setup):
+    """The multi-chip interactive frame (`frame_segmented_sharded`: per-shard
+    dead-lane compaction, host-side global schedule) must reproduce the
+    single-device frame: radiance, TAA position/id buffers, and per-lane ray
+    counters, up to the documented per-shard-program reassociation (~1 ulp).
+    Uses a schedule forced tiny so several segments and shrink levels run on
+    every shard."""
+    from path_tracer_tpu.integrator import wavefront as wf
+    from path_tracer_tpu.parallel.mesh import frame_segmented_sharded
+
+    old = (wf._SEG_B0, wf._SEG_STEPS, wf._seg_caps,
+           wf._SEG_TAIL_AT, wf._SEG_TAIL_STEPS)
+    wf._SEG_B0, wf._SEG_STEPS = 2, 2
+    wf._seg_caps = lambda n: [n // 2, n // 4]
+    wf._SEG_TAIL_AT, wf._SEG_TAIL_STEPS = 0, 4
+    try:
+        scene, ndc, org = setup
+        mesh = make_mesh(8)
+        rad_sh, pos_sh, fid_sh, rays_sh = frame_segmented_sharded(
+            scene, ndc, org, 0, W, H, mesh, max_bounces=8)
+    finally:
+        (wf._SEG_B0, wf._SEG_STEPS, wf._seg_caps,
+         wf._SEG_TAIL_AT, wf._SEG_TAIL_STEPS) = old
+    rad_ref, pos_ref, fid_ref, _ = render_sample(
+        scene, ndc, org, 0, W, H, max_bounces=8)
+    np.testing.assert_allclose(np.asarray(rad_sh), np.asarray(rad_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pos_sh), np.asarray(pos_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fid_sh), np.asarray(fid_ref))
+
+
+def test_interactive_session_sharded_smoke(setup):
+    """InteractiveRenderer(mesh=...): two frames (static + moving) of the
+    full multi-chip interactive loop — trace sharded, TAA/display on the
+    gathered film — produce a finite display image matching the unsharded
+    session."""
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.interactive.session import InteractiveRenderer
+
+    scene_host, cam = scenes.cornell_diffuse()
+    cam2 = scenes.cornell_diffuse()[1]
+    a = InteractiveRenderer(scene_host, cam, W, H, max_bounces=6,
+                            mesh=make_mesh(8))
+    b = InteractiveRenderer(scene_host, cam2, W, H, max_bounces=6)
+    for r in (a, b):
+        r.frame()
+        r.mouse(2e-4, 1e-4, 1.0 / 60.0)
+        r.frame()
+    ia, ib = a.display(), b.display()
+    assert np.isfinite(ia).all()
+    np.testing.assert_allclose(ia, ib, rtol=1e-4, atol=1e-5)
