@@ -158,55 +158,45 @@ def test_defocus_sharded_matches_single(setup):
     assert abs(rad_sh.mean() - rad_ref.mean()) < 0.02 * max(rad_ref.mean(), 1e-6)
 
 
-def test_interactive_frame_sharded_matches_single(setup):
-    """The multi-chip interactive frame (`frame_segmented_sharded`: per-shard
-    dead-lane compaction, host-side global schedule) must reproduce the
-    single-device frame: radiance, TAA position/id buffers, and per-lane ray
-    counters, up to the documented per-shard-program reassociation (~1 ulp).
-    Uses a schedule forced tiny so several segments and shrink levels run on
-    every shard."""
-    from path_tracer_tpu.integrator import wavefront as wf
-    from path_tracer_tpu.parallel.mesh import frame_segmented_sharded
+def test_interactive_frame_sharded_isolated():
+    """The multi-chip interactive frame (`frame_segmented_sharded`) and the
+    sharded session loop, checked in a FRESH SUBPROCESS (same 8-virtual-
+    device CPU mesh).
 
-    old = (wf._SEG_B0, wf._SEG_STEPS, wf._seg_caps,
-           wf._SEG_TAIL_AT, wf._SEG_TAIL_STEPS)
-    wf._SEG_B0, wf._SEG_STEPS = 2, 2
-    wf._seg_caps = lambda n: [n // 2, n // 4]
-    wf._SEG_TAIL_AT, wf._SEG_TAIL_STEPS = 0, 4
-    try:
-        scene, ndc, org = setup
-        mesh = make_mesh(8)
-        rad_sh, pos_sh, fid_sh, rays_sh = frame_segmented_sharded(
-            scene, ndc, org, 0, W, H, mesh, max_bounces=8)
-    finally:
-        (wf._SEG_B0, wf._SEG_STEPS, wf._seg_caps,
-         wf._SEG_TAIL_AT, wf._SEG_TAIL_STEPS) = old
-    rad_ref, pos_ref, fid_ref, _ = render_sample(
-        scene, ndc, org, 0, W, H, max_bounces=8)
-    np.testing.assert_allclose(np.asarray(rad_sh), np.asarray(rad_ref),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(pos_sh), np.asarray(pos_ref),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(fid_sh), np.asarray(fid_ref))
+    Why a subprocess: run in-process at the tail of the full suite, the
+    XLA CPU compiler reproducibly SEGFAULTS compiling one of this path's
+    shard_map programs (observed twice at the same test, 2026-08-21) —
+    while the identical test passes standalone and `pytest
+    tests/test_multichip.py` alone passes 10/10. The crash needs ~90 prior
+    tests' accumulated compiler state, i.e. it is an upstream XLA CPU issue
+    the test merely triggers; process isolation (the `dryrun_multichip`
+    pattern, __graft_entry__.py) makes the check deterministic. The checks
+    themselves: (1) sharded frame radiance/position/id vs the single-device
+    frame (1e-5, ids exact) under a forced multi-segment multi-shrink
+    schedule; (2) the full InteractiveRenderer(mesh=...) session loop
+    (static + TAA moving) vs the unsharded session."""
+    import os
+    import re
+    import subprocess
+    import sys
 
-
-def test_interactive_session_sharded_smoke(setup):
-    """InteractiveRenderer(mesh=...): two frames (static + moving) of the
-    full multi-chip interactive loop — trace sharded, TAA/display on the
-    gathered film — produce a finite display image matching the unsharded
-    session."""
-    from path_tracer_tpu import scenes
-    from path_tracer_tpu.interactive.session import InteractiveRenderer
-
-    scene_host, cam = scenes.cornell_diffuse()
-    cam2 = scenes.cornell_diffuse()[1]
-    a = InteractiveRenderer(scene_host, cam, W, H, max_bounces=6,
-                            mesh=make_mesh(8))
-    b = InteractiveRenderer(scene_host, cam2, W, H, max_bounces=6)
-    for r in (a, b):
-        r.frame()
-        r.mouse(2e-4, 1e-4, 1.0 / 60.0)
-        r.frame()
-    ia, ib = a.display(), b.display()
-    assert np.isfinite(ia).all()
-    np.testing.assert_allclose(ia, ib, rtol=1e-4, atol=1e-5)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   env.get("XLA_FLAGS", ""))
+    env["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import tests.sharded_frame_check as m\n"
+        "m.run_checks()\n"
+    )
+    res = subprocess.run([sys.executable, "-c", code], env=env, cwd=here,
+                         capture_output=True, text=True, timeout=1800)
+    assert res.returncode == 0, (
+        f"sharded-frame subprocess failed rc={res.returncode}\n"
+        f"stdout:\n{res.stdout[-2000:]}\nstderr:\n{res.stderr[-2000:]}")
+    assert "SHARDED_FRAME_OK" in res.stdout
