@@ -22,3 +22,29 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Clear JAX's global compilation caches between test MODULES.
+
+    Without this, the full suite accumulates every module's compiled
+    executables in one process, and past a threshold the XLA CPU compiler
+    segfaults on whichever compile comes next (observed three times
+    2026-08-21 at ~the same cumulative point but in DIFFERENT tests:
+    twice in test_multichip's sharded-frame compile, then — after that
+    test was subprocess-isolated — in test_multipass; always inside
+    ``backend_compile_and_load``). Per-module clearing bounds live
+    executables at one module's worth. Module scope (not per-test) keeps
+    intra-module cache reuse, which
+    ``test_interactive.py::test_frame_path_compiles_once`` depends on
+    within its own body.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
