@@ -37,6 +37,8 @@ def run(mode: str, scene_name: str, w: int, h: int, frames: int,
     scene_host, cam = getattr(scenes, scene_name)(aspect=w / h)
     r = InteractiveRenderer(scene_host, cam, w, h)
 
+    u8 = os.environ.get("PT_FPS_U8", "0") != "0"
+
     def step(i: int) -> np.ndarray:
         if mode == "moving":
             # gentle orbit + strafe (~2 deg + a few world units per frame;
@@ -45,7 +47,7 @@ def run(mode: str, scene_name: str, w: int, h: int, frames: int,
             r.mouse(2e-4 if i % 2 == 0 else -1.5e-4, 1e-4, 1.0 / 60.0)
             r.key("w" if i % 4 < 2 else "d", 6e-6)
         r.frame()
-        return r.display()  # host sync: the "present"
+        return r.display(as_uint8=u8)  # host sync: the "present"
 
     img = step(0)  # warmup/compile
     profile = os.environ.get("PT_FPS_PROFILE", "0") != "0"
@@ -62,7 +64,7 @@ def run(mode: str, scene_name: str, w: int, h: int, frames: int,
                 r.key("w" if i % 4 < 2 else "d", 6e-6)
             r.frame()
             tb = time.perf_counter()
-            img = r.display()
+            img = r.display(as_uint8=u8)
             tc = time.perf_counter()
             t_frame += tb - ta
             t_disp += tc - tb
@@ -72,16 +74,18 @@ def run(mode: str, scene_name: str, w: int, h: int, frames: int,
             # display() is already tonemapped + image-row order
             from PIL import Image
 
-            data = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+            data = (img if img.dtype == np.uint8
+                    else np.clip(img * 255.0, 0, 255).astype(np.uint8))
             Image.fromarray(data, "RGB").save(
                 os.path.join(sink, f"{mode}_{i:04d}.png"))
     dt = time.perf_counter() - t0
-    assert np.isfinite(img).all()
+    assert img.dtype == np.uint8 or np.isfinite(img).all()
     out = {
         "mode": mode, "scene": scene_name, "size": f"{w}x{h}",
         "frames": frames, "fps": round(frames / dt, 2),
         "ms_per_frame": round(1e3 * dt / frames, 2),
         "mean": float(img.mean()),
+        "u8": u8,
     }
     if profile:
         out["ms_trace"] = round(1e3 * t_frame / frames, 2)

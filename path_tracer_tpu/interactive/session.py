@@ -111,16 +111,18 @@ class InteractiveRenderer:
         colour = jnp.concatenate([rad, jnp.ones((rad.shape[0], 1), jnp.float32)], axis=1)
         colour = colour.reshape(h, w, 4)
         position = pos.reshape(h, w, 4)
-        self.ids = taa.pack_ids(self.ids, fid.reshape(h, w))
 
+        # one fused program per mode (taa.frame_update_*): id packing,
+        # velocity, and reprojection/accumulation compile together, so the
+        # intermediates never round-trip HBM between dispatches
         if self._camera_moved:
-            velocity = taa.compute_velocity(position, jnp.asarray(self.last_world_to_clip))
-            self.accumulation = taa.temporal_reproject(
-                colour, self.accumulation, velocity, self.ids
-            )
+            self.ids, self.accumulation = taa.frame_update_moving(
+                self.ids, self.accumulation, colour, fid.reshape(h, w),
+                position, jnp.asarray(self.last_world_to_clip))
             self._camera_moved = False
         else:
-            self.accumulation = taa.accumulate(self.accumulation, colour)
+            self.ids, self.accumulation = taa.frame_update_static(
+                self.ids, self.accumulation, colour, fid.reshape(h, w))
 
         self.last_world_to_clip = np.asarray(self.camera.world_to_clip())
         self.sample += 1
@@ -139,6 +141,13 @@ class InteractiveRenderer:
         self.last_world_to_clip = np.asarray(self.camera.world_to_clip())
         self._camera_moved = False
 
-    def display(self) -> np.ndarray:
-        """Tonemapped [H,W,3] frame in [0,1], image-row order (top first)."""
+    def display(self, as_uint8: bool = False) -> np.ndarray:
+        """Tonemapped [H,W,3] frame, image-row order (top first).
+
+        ``as_uint8``: quantize to uint8 ON DEVICE before the host readback —
+        the handoff a real swapchain takes, and 4× less device→host traffic
+        (a measured slice of the frame budget on the tunneled platform).
+        Default returns float32 in [0,1]."""
+        if as_uint8:
+            return np.asarray(taa.display_frame_u8(self.accumulation))[::-1]
         return np.asarray(taa.display_frame(self.accumulation))[::-1]

@@ -258,3 +258,44 @@ def display_letterboxed(frame: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarr
     left = (out_w - new_w) // 2
     canvas = jnp.zeros((out_h, out_w, 3), frame.dtype)
     return jax.lax.dynamic_update_slice(canvas, scaled, (top, left, 0))
+
+
+# --- fused per-frame update programs (r5) -----------------------------------
+#
+# The session originally dispatched pack_ids / accumulate (static) or
+# pack_ids / compute_velocity / temporal_reproject (moving) as separate
+# programs, materializing the intermediates ([H,W,2] velocity, packed ids)
+# in HBM between them. One fused program per mode removes the extra
+# dispatches and lets XLA fuse the velocity math straight into the
+# reprojection's consumers. Outputs may differ from the unfused sequence at
+# the last ulp (fusion changes FMA formation), which is inside the TAA
+# pipeline's own tolerance (blend=0.15 history filter).
+
+
+@_jax.jit
+def frame_update_static(prev_ids, accumulation, colour, new_id):
+    """pack_ids + accumulate in one program. Returns (ids, accumulation)."""
+    ids = (prev_ids << jnp.uint32(16)) | (new_id & jnp.uint32(0xFFFF))
+    rgb = colour[..., :3]
+    ones = jnp.ones_like(rgb[..., :1])
+    return ids, accumulation + jnp.concatenate([rgb, ones], axis=-1)
+
+
+@_jax.jit
+def frame_update_moving(prev_ids, accumulation, colour, new_id, position,
+                        last_world_to_clip):
+    """pack_ids + compute_velocity + temporal_reproject in one program.
+    Returns (ids, new accumulation)."""
+    ids = (prev_ids << jnp.uint32(16)) | (new_id & jnp.uint32(0xFFFF))
+    velocity = compute_velocity(position, last_world_to_clip)
+    return ids, temporal_reproject(colour, accumulation, velocity, ids)
+
+
+@_jax.jit
+def display_frame_u8(accumulation: jnp.ndarray) -> jnp.ndarray:
+    """``display_frame`` quantized to uint8 ON DEVICE — the presentation
+    handoff a real swapchain takes, and 4x less device->host traffic than
+    the f32 image (the readback is a measured slice of the frame budget on
+    the tunneled platform)."""
+    f = display_frame(accumulation)
+    return jnp.round(f * 255.0).astype(jnp.uint8)
