@@ -11,6 +11,11 @@
 #   twolevel_dragon  dragon two-level with the parts-aware default batch
 #   vsplit_ab        PT_VWALK_SPLIT 1024/2048 A/B on the dragon two-level
 #   headline         bench.py (driver metric sanity before round end)
+#   fps_mesh         interactive fps, mesh_scene (schedule generality)
+#   fps_512          interactive fps at 512x288 (film-size scaling)
+#   fps_profile      interactive fps with trace/display phase split
+#   fps_u8           fps with device-side u8 present handoff
+#   dragon_small     dragon end-to-end under the shipped default batch
 #
 # Hard-won notes: one host CPU — never run pytest concurrently with the f64
 # oracle; an oracle TIMEOUT is not a precision failure. The tunnel charges
@@ -62,6 +67,21 @@ case "$BLOCK" in
         benches/bench_twolevel.py --scene dragon --width 512 --height 512 --spp 8 ;;
   headline)
     run headline 3600 python bench.py ;;
+  fps_mesh)
+    run fps_mesh 7200 python benches/interactive_fps.py \
+        --scene mesh_scene --frames 16 ;;
+  fps_512)
+    run fps_512 7200 python benches/interactive_fps.py \
+        --scene cornell_specular --width 512 --height 288 --frames 24 ;;
+  fps_profile)
+    run fps_profile 5400 env PT_FPS_PROFILE=1 python \
+        benches/interactive_fps.py --scene cornell_specular --frames 24 ;;
+  fps_u8)
+    run fps_u8 5400 env PT_FPS_PROFILE=1 PT_FPS_U8=1 python \
+        benches/interactive_fps.py --scene cornell_specular --frames 24 ;;
+  dragon_small)
+    run dragon_small 3600 python benches/bench_all.py \
+        --only dragon_scene --size 256 --spp 4 ;;
   *)
     echo "unknown block: $BLOCK"; exit 2 ;;
 esac
