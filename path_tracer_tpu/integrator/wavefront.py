@@ -807,15 +807,19 @@ _render_sample_jit = jax.jit(
 # miss-sentinel init for position/first_id (read only from segment 0), and a
 # zero-step continuation would loop forever without retiring lanes.
 #
-# B0 default 2 from the measured alive-decay profile (cornell_specular at
+# B0 default 1 from the measured alive-decay profile (cornell_specular at
 # 16:9, CPU probe, RESULTS_r5.md): only 31% of lanes survive bounce 0 (env
-# misses + direct light hits) and 24% survive bounce 1, so compaction to
-# the n/4 slot is available after TWO steps — every further full-film step
-# (the old default ran six) traces ~76% dead lanes. Scenes whose lanes stay
-# alive longer just skip the early compaction (one extra count-read, no
-# extra trace work).
-_SEG_B0 = max(1, int(os.environ.get("PT_SEG_B0", "2")))
+# misses + direct light hits), so the 3n/8 compaction slot (see _seg_caps)
+# is available after ONE step, and 24% survive bounce 1 (the n/4 slot).
+# Above n/4 the schedule runs PT_SEG_BIG_STEPS (default 1) bounce steps per
+# segment: at full-film sizes one trace step costs ~50x the per-segment
+# dispatch+count-sync overhead, so checking the alive count every step
+# buys the earliest possible shrink almost for free — and scenes whose
+# lanes stay alive just pay that small per-bounce sync until the film
+# thins (the count read is the schedule's only input; nothing is guessed).
+_SEG_B0 = max(1, int(os.environ.get("PT_SEG_B0", "1")))
 _SEG_STEPS = max(1, int(os.environ.get("PT_SEG_STEPS", "6")))
+_SEG_BIG_STEPS = max(1, int(os.environ.get("PT_SEG_BIG_STEPS", "1")))
 # Tail batching: once the buffer has collapsed to the menu floor, the
 # surviving lanes (the glass tail, ~0.1-0.3% of the film) ride for tens of
 # bounces; at 6 steps/segment that is ~8 more segments whose cost is almost
@@ -830,15 +834,38 @@ _SEG_TAIL_STEPS = max(1, int(os.environ.get("PT_SEG_TAIL_STEPS", "24")))
 
 
 def _seg_caps(n: int) -> list:
-    """Static buffer-size menu: quarters of the film, 256-lane aligned,
-    floored at 2048 (below that, per-dispatch overhead beats the savings)."""
+    """Static buffer-size menu: a 3n/8 early slot, then quarters of the
+    film, 256-lane aligned, floored at 2048 (below that, per-dispatch
+    overhead beats the savings).
+
+    The 3n/8 slot exists because the measured camera-bounce survival of the
+    reference-style scenes is ~31% (RESULTS_r5.md alive profile) — just
+    over n/4, so without it the film runs FULL-size until bounce 2. With it
+    (and 1-step big segments) bounce 1 already traces at 37.5% size."""
     caps, c = [], n
+    early = -(-((3 * n) // 8) // 256) * 256
+    if 2048 < early < n:
+        caps.append(early)
     while c > 2048:
         c = max(2048, -(-(c // 4) // 256) * 256)
-        if caps and caps[-1] == c:
+        if not caps or caps[-1] > c:
+            caps.append(c)
+        elif c >= caps[-1]:
             break
-        caps.append(c)
     return caps
+
+
+def _seg_steps_for(size: int, n: int) -> int:
+    """Bounce steps for a segment at buffer ``size`` of an ``n``-lane film:
+    1 (PT_SEG_BIG_STEPS) above n/4 — earliest-possible shrink while steps
+    are expensive; 6 (PT_SEG_STEPS) in the mid sizes; 24
+    (PT_SEG_TAIL_STEPS) at the floor where steps are ~free and segments
+    are pure overhead."""
+    if size <= _SEG_TAIL_AT:
+        return _SEG_TAIL_STEPS
+    if size * 4 > n:
+        return _SEG_BIG_STEPS
+    return _SEG_STEPS
 
 
 @partial(jax.jit, static_argnames=("cap",))
@@ -938,7 +965,8 @@ def render_sample_segmented(
     # must appear here: width/height (not just n — a transposed resize keeps
     # n but changes the program), focus, and cam_basis presence+shape.
     warm_key = (_seg_scene_key_cached(scene), width, height, tuple(caps),
-                _SEG_B0, _SEG_STEPS, _SEG_TAIL_AT, _SEG_TAIL_STEPS,
+                _SEG_B0, _SEG_STEPS, _SEG_BIG_STEPS,
+                _SEG_TAIL_AT, _SEG_TAIL_STEPS,
                 mtypes, max_bounces, enable_nee,
                 has_lights, any_volumes, aperture, focus,
                 None if cam_basis is None else jnp.shape(cam_basis))
@@ -957,11 +985,9 @@ def render_sample_segmented(
             int(jnp.count_nonzero(sf["alive"]))
             dead = dict(sf)
             dead["alive"] = jnp.zeros_like(sf["alive"])
-            for st_count in ({_SEG_STEPS, _SEG_TAIL_STEPS}
-                             if f <= _SEG_TAIL_AT else (_SEG_STEPS,)):
-                sd = _render_sample_jit(scene, ndc_to_world, cam_origin,
-                                        sample_id, lf, init_state=dead,
-                                        max_steps=st_count, **common)
+            sd = _render_sample_jit(scene, ndc_to_world, cam_origin,
+                                    sample_id, lf, init_state=dead,
+                                    max_steps=_seg_steps_for(f, n), **common)
             _seg_scatter(jnp.zeros_like(rad), jnp.zeros_like(rays),
                          jnp.zeros_like(rays_strict), sd, lf)
             for t in sizes[i + 1:]:
@@ -986,10 +1012,9 @@ def render_sample_segmented(
         if cap < cur:
             s, lane = _seg_compact(s, lane, cap)
             cur = cap
-        steps = _SEG_TAIL_STEPS if cur <= _SEG_TAIL_AT else _SEG_STEPS
         s = _render_sample_jit(
             scene, ndc_to_world, cam_origin, sample_id, lane,
-            init_state=s, max_steps=steps, **common)
+            init_state=s, max_steps=_seg_steps_for(cur, n), **common)
         rad, rays, rays_strict = _seg_scatter(rad, rays, rays_strict, s, lane)
 
     return rad, position, first_id, jnp.stack([rays, rays_strict], axis=1)

@@ -322,8 +322,7 @@ def frame_segmented_sharded(
         if cap < cur:
             s, lane = compact(s, lane, cap)
             cur = cap
-        steps = (wf._SEG_TAIL_STEPS if cur <= wf._SEG_TAIL_AT
-                 else wf._SEG_STEPS)
+        steps = wf._seg_steps_for(cur, chunk)
         s, cnt = seg(scene, ndc, org, sid, cam_basis, s, lane, steps)
         rad, rays2 = scatter(rad, rays2, s, lane)
     return rad, position, first_id, rays2
