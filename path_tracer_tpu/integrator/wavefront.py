@@ -818,7 +818,13 @@ _render_sample_jit = jax.jit(
 # lanes stay alive just pay that small per-bounce sync until the film
 # thins (the count read is the schedule's only input; nothing is guessed).
 _SEG_B0 = max(1, int(os.environ.get("PT_SEG_B0", "1")))
-_SEG_STEPS = max(1, int(os.environ.get("PT_SEG_STEPS", "6")))
+# Mid-size steps default 3 (was 6): with RR collapsing survival 17% -> 3.6%
+# at bounce 4, a 6-step n/4 segment traces bounces 5-7 at ~25x their
+# occupancy; 3-step segments shrink at bounce 5. Measured (RESULTS_r5.md):
+# 919 vs 1043 ms trace, means bit-identical. Fat-tail scenes (volumes) pay
+# ~2-3 extra count syncs (~2% of their frame) — the schedule stays
+# count-driven either way.
+_SEG_STEPS = max(1, int(os.environ.get("PT_SEG_STEPS", "3")))
 _SEG_BIG_STEPS = max(1, int(os.environ.get("PT_SEG_BIG_STEPS", "1")))
 # Tail batching: once the buffer has collapsed to the menu floor, the
 # surviving lanes (the glass tail, ~0.1-0.3% of the film) ride for tens of
