@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from path_tracer_tpu.camera import ray_directions
 from path_tracer_tpu.core import sobol
@@ -837,6 +838,27 @@ _SEG_BIG_STEPS = max(1, int(os.environ.get("PT_SEG_BIG_STEPS", "1")))
 # segment schedule — tests/test_interactive.py).
 _SEG_TAIL_AT = int(os.environ.get("PT_SEG_TAIL_AT", "2560"))
 _SEG_TAIL_STEPS = max(1, int(os.environ.get("PT_SEG_TAIL_STEPS", "24")))
+# Temporal schedule prediction: drive a frame's whole segment chain from the
+# PREVIOUS frame's observed alive counts instead of reading the count back
+# between segments. On the tunneled TPU each mid-frame count read costs a
+# full host<->device roundtrip (~24 ms measured, ~9 reads/frame at 1024x576
+# — a fifth of the frame), and they serialize the dispatch chain. A
+# predicted frame enqueues every segment asynchronously and reads ONE status
+# vector at the end; an on-device overflow check (any boundary count above
+# its planned cap, or lanes still alive after the last planned segment)
+# triggers an exact count-driven re-render of the same sample, so no live
+# lane can ever be dropped and the accepted image is bit-identical to the
+# count-driven schedule's. PT_SEG_MARGIN is the headroom multiplier applied
+# to observed counts when planning the next frame's caps. Default 1.05:
+# menu levels are >=1.5x apart, so a bump costs >=50% extra segment compute
+# and must fire ONLY when the count truly brushes its cap — and measured
+# frame-to-frame count drift is well under 5% (static: RNG noise ~0.1%;
+# moving at the bench's orbit rates: <2%). 1.25 measurably backfires: the
+# cornell_specular bounce-0 survival (~31%) times 1.25 crosses the 3n/8
+# early slot (37.5%), promoting boundary 1 to a FULL-film segment — the A/B
+# showed the margin eating the entire sync saving (RESULTS_r5.md).
+_SEG_PREDICT = os.environ.get("PT_SEG_PREDICT", "1") != "0"
+_SEG_MARGIN = float(os.environ.get("PT_SEG_MARGIN", "1.05"))
 
 
 def _seg_caps(n: int) -> list:
@@ -895,6 +917,78 @@ def _seg_scatter(rad, rays, rays_strict, s, lane):
             rays_strict.at[idx].set(s["rays_strict"]))
 
 
+_seg_count = jax.jit(lambda alive: jnp.count_nonzero(alive).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("caps",))
+def _seg_status(counts, final, caps):
+    """Fold a predicted frame's boundary counts into one fetchable vector:
+    ``[counts..., final_alive, overflow]``. ``overflow`` is 1 when any
+    boundary count exceeded its planned cap (a compaction would have dropped
+    live lanes — the outputs of this frame must be discarded) or when lanes
+    survived the last planned segment (the frame is incomplete)."""
+    capv = jnp.asarray(caps, jnp.int32).reshape(-1)
+    over = (counts > capv).any() if caps else jnp.asarray(False)
+    over = over | (final > 0)
+    return jnp.concatenate(
+        [counts, jnp.stack([final, over.astype(jnp.int32)])])
+
+
+class SegmentPredictor:
+    """Per-session temporal schedule state for ``render_sample_segmented``.
+
+    ``plan`` is the predicted cap sequence for the segments after the
+    initial one (``None`` = no prediction yet: the next frame runs
+    count-driven and seeds the plan). ``key`` ties the plan to the film /
+    schedule configuration it was built for. ``overflows`` counts fallback
+    re-renders (observability; the fps bench reports it)."""
+
+    __slots__ = ("plan", "key", "overflows")
+
+    def __init__(self):
+        self.plan = None
+        self.key = None
+        self.overflows = 0
+
+
+def _plan_from_counts(counts, n, caps):
+    """Next frame's ``(cap, steps)`` sequence from this frame's observed
+    boundary counts.
+
+    ``steps`` comes from the UNMARGINED cap (the one the count-driven
+    schedule would pick for the observed count): the bounce trajectory —
+    which bounce indices run in which segment — is then exactly the
+    observed one, so the plan predicts the very boundaries it was measured
+    at. The margin (``PT_SEG_MARGIN``) only enlarges the BUFFER one menu
+    level when the count sits within 25% of a cap: more compute for that
+    segment, identical trajectory, no overflow from frame-to-frame drift.
+    (Deriving steps from the margined cap instead couples the trajectory to
+    the margin and makes rebuilt plans mispredict their own boundaries — a
+    persistent-fallback loop caught by ``tests/test_seg_predict.py``.)
+
+    The sequence stops at the first zero count; one guard segment at the
+    final (cap, steps) absorbs tail lanes that outlive last frame's
+    termination bounce without forcing a fallback."""
+    plan = []
+    cur = n
+    for cnt in counts:
+        if cnt <= 0:
+            break
+        want = int(cnt * _SEG_MARGIN)
+        base = cap = cur
+        for c in caps:
+            if cnt <= c < base:
+                base = c
+            if want <= c < cap:
+                cap = c
+        cap = min(cap, cur)
+        plan.append((cap, _seg_steps_for(base, n)))
+        cur = cap
+    if plan:
+        plan.append(plan[-1])
+    return tuple(plan)
+
+
 _seg_warmed: set = set()
 
 
@@ -941,6 +1035,7 @@ def render_sample_segmented(
     aperture: float = 0.0,
     focus: float = 0.0,
     cam_basis=None,
+    predictor: "SegmentPredictor | None" = None,
 ):
     """``render_sample`` (1 spp, pinned) with dead-lane segmented compaction.
 
@@ -951,7 +1046,13 @@ def render_sample_segmented(
     host reads one scalar (the alive count) between segments to pick the
     next static buffer size; all segment programs for a film size are warmed
     on first use so steady-state frames trigger zero compiles.
-    """
+
+    With a ``predictor`` (and ``PT_SEG_PREDICT`` on), steady-state frames
+    instead run the whole segment chain from the previous frame's predicted
+    schedule with ZERO mid-frame host reads — one end-of-frame status fetch
+    validates the plan and either accepts the (bit-identical) outputs or
+    falls back to an exact count-driven re-render of the same sample
+    (``tests/test_seg_predict.py``)."""
     n = width * height
     lane = jnp.arange(n, dtype=jnp.uint32)
     common = dict(
@@ -988,12 +1089,21 @@ def render_sample_segmented(
         states = {n: (s, lane)}
         for i, f in enumerate(sizes):
             sf, lf = states[f]
-            int(jnp.count_nonzero(sf["alive"]))
+            int(_seg_count(sf["alive"]))
             dead = dict(sf)
             dead["alive"] = jnp.zeros_like(sf["alive"])
-            sd = _render_sample_jit(scene, ndc_to_world, cam_origin,
-                                    sample_id, lf, init_state=dead,
-                                    max_steps=_seg_steps_for(f, n), **common)
+            # warm this size's own step count, plus the next-smaller menu
+            # level's when it differs: a predicted plan's margin bump runs a
+            # one-level-larger buffer with the smaller level's steps (see
+            # _plan_from_counts), and that (size, steps) program must never
+            # compile mid-session
+            step_set = {_seg_steps_for(f, n)}
+            if i + 1 < len(sizes):
+                step_set.add(_seg_steps_for(sizes[i + 1], n))
+            for stp in step_set:
+                sd = _render_sample_jit(scene, ndc_to_world, cam_origin,
+                                        sample_id, lf, init_state=dead,
+                                        max_steps=stp, **common)
             _seg_scatter(jnp.zeros_like(rad), jnp.zeros_like(rays),
                          jnp.zeros_like(rays_strict), sd, lf)
             for t in sizes[i + 1:]:
@@ -1006,22 +1116,81 @@ def render_sample_segmented(
         # mid-session compiles.
         _seg_warmed.add(warm_key)
 
-    cur = n
-    while True:
-        cnt = int(jnp.count_nonzero(s["alive"]))
-        if cnt == 0:
-            break
-        cap = cur
-        for c in caps:
-            if cnt <= c < cap:
-                cap = c
-        if cap < cur:
-            s, lane = _seg_compact(s, lane, cap)
-            cur = cap
+    def seg_dispatch(s, lane, cur, steps=None):
         s = _render_sample_jit(
             scene, ndc_to_world, cam_origin, sample_id, lane,
-            init_state=s, max_steps=_seg_steps_for(cur, n), **common)
-        rad, rays, rays_strict = _seg_scatter(rad, rays, rays_strict, s, lane)
+            init_state=s,
+            max_steps=_seg_steps_for(cur, n) if steps is None else steps,
+            **common)
+        return s
+
+    def exact_loop(s, lane, rad, rays, rays_strict):
+        """Count-driven schedule: one host count-read per segment. Returns
+        the outputs plus the observed boundary counts (the plan seed)."""
+        counts = []
+        cur = n
+        while True:
+            cnt = int(_seg_count(s["alive"]))
+            counts.append(cnt)
+            if cnt == 0:
+                break
+            cap = cur
+            for c in caps:
+                if cnt <= c < cap:
+                    cap = c
+            if cap < cur:
+                s, lane = _seg_compact(s, lane, cap)
+                cur = cap
+            s = seg_dispatch(s, lane, cur)
+            rad, rays, rays_strict = _seg_scatter(rad, rays, rays_strict,
+                                                  s, lane)
+        return rad, rays, rays_strict, counts
+
+    use_predict = predictor is not None and _SEG_PREDICT
+    plan = None
+    if use_predict and predictor.key == warm_key:
+        plan = predictor.plan
+    if plan:
+        # Predicted schedule: every dispatch below is enqueued without a
+        # host sync; the single status fetch at the end is the frame's only
+        # mid-pipeline readback.
+        s0, lane0 = s, lane
+        counts = []
+        cur = n
+        ps, plane = s, lane
+        prad, prays, pstrict = rad, rays, rays_strict
+        for cap, steps in plan:
+            counts.append(_seg_count(ps["alive"]))
+            cap = min(cap, cur)
+            if cap < cur:
+                ps, plane = _seg_compact(ps, plane, cap)
+                cur = cap
+            ps = seg_dispatch(ps, plane, cur, steps)
+            prad, prays, pstrict = _seg_scatter(prad, prays, pstrict,
+                                                ps, plane)
+        status = _seg_status(
+            jnp.stack(counts) if counts else jnp.zeros((0,), jnp.int32),
+            _seg_count(ps["alive"]),
+            tuple(min(c, n) for c, _ in plan))
+        st = np.asarray(status)
+        if int(st[-1]) == 0:
+            rad, rays, rays_strict = prad, prays, pstrict
+            predictor.plan = _plan_from_counts(
+                [int(c) for c in st[:-2]], n, caps)
+        else:
+            # A boundary overflowed its planned cap (or lanes outlived the
+            # plan): the predicted outputs may have dropped live lanes —
+            # discard them and re-render this sample exactly.
+            predictor.overflows += 1
+            rad, rays, rays_strict, counts = exact_loop(
+                s0, lane0, rad, rays, rays_strict)
+            predictor.plan = _plan_from_counts(counts, n, caps)
+    else:
+        rad, rays, rays_strict, counts = exact_loop(s, lane, rad, rays,
+                                                    rays_strict)
+        if use_predict:
+            predictor.plan = _plan_from_counts(counts, n, caps)
+            predictor.key = warm_key
 
     return rad, position, first_id, jnp.stack([rays, rays_strict], axis=1)
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from path_tracer_tpu.camera import Camera
 from path_tracer_tpu.integrator.wavefront import (
+    SegmentPredictor,
     render_sample,
     render_sample_segmented,
 )
@@ -71,6 +72,11 @@ class InteractiveRenderer:
         self.sample = 0
         self.last_world_to_clip = np.asarray(camera.world_to_clip())
         self._camera_moved = False
+        # temporal segment-schedule prediction (PT_SEG_PREDICT): steady-state
+        # frames run the whole segment chain from last frame's observed
+        # alive counts with one end-of-frame validity read instead of one
+        # count-read per segment (each a ~24 ms tunnel roundtrip)
+        self._predictor = SegmentPredictor()
 
     # -- input events (main.rs:147, camera.rs:55-92) --
 
@@ -92,9 +98,13 @@ class InteractiveRenderer:
         if self.mesh is not None:
             from path_tracer_tpu.parallel.mesh import frame_segmented_sharded
 
-            entry = partial(frame_segmented_sharded, mesh=self.mesh)
+            entry = partial(frame_segmented_sharded, mesh=self.mesh,
+                            predictor=self._predictor)
+        elif _SEGMENTED:
+            entry = partial(render_sample_segmented,
+                            predictor=self._predictor)
         else:
-            entry = render_sample_segmented if _SEGMENTED else render_sample
+            entry = render_sample
         rad, pos, fid, _ = entry(
             self.scene,
             jnp.asarray(self.camera.view_proj_inverse()),
@@ -151,3 +161,13 @@ class InteractiveRenderer:
         if as_uint8:
             return np.asarray(taa.display_frame_u8(self.accumulation))[::-1]
         return np.asarray(taa.display_frame(self.accumulation))[::-1]
+
+    def display_device(self, as_uint8: bool = False):
+        """Tonemapped frame as a DEVICE array (bottom-row-first layout; flip
+        with ``[::-1]`` after fetching). The double-buffered present path: a
+        swapchain-style loop dispatches this, starts the host copy with
+        ``.copy_to_host_async()``, and overlaps the d2h with the NEXT
+        frame's trace — the reference's ``present()`` likewise never blocks
+        the next frame's encoding (state.rs:505-586)."""
+        fn = taa.display_frame_u8 if as_uint8 else taa.display_frame
+        return fn(self.accumulation)

@@ -269,6 +269,7 @@ def frame_segmented_sharded(
     aperture: float = 0.0,
     focus: float = 0.0,
     cam_basis=None,
+    predictor=None,
 ):
     """One interactive frame (1 spp pinned) with dead-lane segmented
     compaction, tile-sharded across ``mesh`` — the multi-chip form of
@@ -310,19 +311,73 @@ def frame_segmented_sharded(
     rays2 = jnp.stack([s["rays"], s["rays_strict"]], axis=1)
 
     caps = wf._seg_caps(chunk)
-    cur = chunk
-    while True:
-        m = int(jnp.max(cnt))
-        if m == 0:
-            break
-        cap = cur
-        for c in caps:
-            if m <= c < cap:
-                cap = c
-        if cap < cur:
-            s, lane = compact(s, lane, cap)
-            cur = cap
-        steps = wf._seg_steps_for(cur, chunk)
-        s, cnt = seg(scene, ndc, org, sid, cam_basis, s, lane, steps)
-        rad, rays2 = scatter(rad, rays2, s, lane)
+
+    def exact_loop(s, lane, cnt, rad, rays2):
+        """Count-driven schedule: one host max-count read per segment (a
+        full all-device sync each). Returns outputs + the observed max
+        boundary counts — the seed for the predicted schedule."""
+        counts = []
+        cur = chunk
+        while True:
+            m = int(jnp.max(cnt))
+            counts.append(m)
+            if m == 0:
+                break
+            cap = cur
+            for c in caps:
+                if m <= c < cap:
+                    cap = c
+            if cap < cur:
+                s, lane = compact(s, lane, cap)
+                cur = cap
+            steps = wf._seg_steps_for(cur, chunk)
+            s, cnt = seg(scene, ndc, org, sid, cam_basis, s, lane, steps)
+            rad, rays2 = scatter(rad, rays2, s, lane)
+        return rad, rays2, counts
+
+    use_predict = predictor is not None and wf._SEG_PREDICT
+    pkey = ("sharded", cfg, n_dev, tuple(caps), wf._SEG_B0, wf._SEG_STEPS,
+            wf._SEG_BIG_STEPS, wf._SEG_TAIL_AT, wf._SEG_TAIL_STEPS)
+    plan = None
+    if use_predict and predictor.key == pkey:
+        plan = predictor.plan
+    if plan:
+        # Predicted schedule (wavefront.render_sample_segmented's temporal
+        # plan, in sharded form): every dispatch chains asynchronously; the
+        # shared buffer size per boundary is planned from last frame's
+        # max-over-shards counts, validated by ONE end-of-frame status
+        # fetch. Overflow or surviving lanes => exact re-render, so no live
+        # lane on any shard can be dropped.
+        s0, lane0, cnt0 = s, lane, cnt
+        maxes = []
+        cur = chunk
+        ps, plane_, pcnt = s, lane, cnt
+        prad, prays2 = rad, rays2
+        for cap, steps in plan:
+            maxes.append(jnp.max(pcnt).astype(jnp.int32))
+            cap = min(cap, cur)
+            if cap < cur:
+                ps, plane_ = compact(ps, plane_, cap)
+                cur = cap
+            ps, pcnt = seg(scene, ndc, org, sid, cam_basis, ps, plane_,
+                           steps)
+            prad, prays2 = scatter(prad, prays2, ps, plane_)
+        status = wf._seg_status(
+            jnp.stack(maxes) if maxes else jnp.zeros((0,), jnp.int32),
+            jnp.max(pcnt).astype(jnp.int32),
+            tuple(min(c, chunk) for c, _ in plan))
+        st = np.asarray(status)
+        if int(st[-1]) == 0:
+            rad, rays2 = prad, prays2
+            predictor.plan = wf._plan_from_counts(
+                [int(c) for c in st[:-2]], chunk, caps)
+        else:
+            predictor.overflows += 1
+            rad, rays2, counts = exact_loop(s0, lane0, cnt0, rad, rays2)
+            predictor.plan = wf._plan_from_counts(counts, chunk, caps)
+    else:
+        rad, rays2, counts = exact_loop(s, lane, cnt, rad, rays2)
+        if use_predict:
+            predictor.plan = wf._plan_from_counts(counts, chunk, caps)
+            predictor.key = pkey
     return rad, position, first_id, rays2

@@ -70,4 +70,38 @@ def run_checks() -> None:
     assert np.isfinite(ia).all()
     np.testing.assert_allclose(ia, ib, rtol=1e-4, atol=1e-5)
 
+    # (3) sharded temporal schedule prediction: frame 1 seeds the plan from
+    # the count-driven run; frames 2+ run the async predicted chain — must
+    # be BIT-identical to the count-driven sharded frame; a sabotaged plan
+    # must be caught by the status check and fall back exactly
+    old_predict = wf._SEG_PREDICT
+    wf._SEG_B0, wf._SEG_STEPS = 2, 2
+    wf._seg_caps = lambda n: [n // 2, n // 4]
+    wf._SEG_TAIL_AT, wf._SEG_TAIL_STEPS = 0, 4
+    wf._SEG_PREDICT = True
+    try:
+        pred = wf.SegmentPredictor()
+        for sid in (0, 1, 2):
+            ref = frame_segmented_sharded(
+                scene, ndc, org, sid, W, H, mesh, max_bounces=8)
+            got = frame_segmented_sharded(
+                scene, ndc, org, sid, W, H, mesh, max_bounces=8,
+                predictor=pred)
+            for r_, g_ in zip(ref, got):
+                np.testing.assert_array_equal(np.asarray(r_), np.asarray(g_))
+        assert pred.plan and pred.overflows == 0
+        # caps of 4 lanes are far below any shard's early boundary counts
+        pred.plan = tuple((4, st) for _, st in pred.plan)
+        ref = frame_segmented_sharded(
+            scene, ndc, org, 3, W, H, mesh, max_bounces=8)
+        got = frame_segmented_sharded(
+            scene, ndc, org, 3, W, H, mesh, max_bounces=8, predictor=pred)
+        assert pred.overflows == 1
+        for r_, g_ in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r_), np.asarray(g_))
+    finally:
+        (wf._SEG_B0, wf._SEG_STEPS, wf._seg_caps,
+         wf._SEG_TAIL_AT, wf._SEG_TAIL_STEPS) = old
+        wf._SEG_PREDICT = old_predict
+
     print("SHARDED_FRAME_OK")
